@@ -1,0 +1,172 @@
+"""Minimal, dependency-free HTML fragment parser (the "from-scratch DOM builder").
+
+The reference engine (dbpedia/table-extractor) parses fetched Wikipedia pages with
+``lxml`` (``/root/reference/table_extractor/Utilities.py:241-260``) and then walks the
+element tree with ``findall`` / ``iterchildren`` / ``itertext`` / ``.text``
+(``HtmlTableParser.py:87-121, 289-293, 627-655, 674-714, 716-755``).
+
+Our engine never receives whole pages — table markup arrives embedded inside the
+``text`` spans of the interleaved document model (see FIXTURES.md) — so all we need
+is a tolerant tokenizer + tree builder for table fragments.  We deliberately
+re-implement only the lxml behaviors the reference observes:
+
+* ``Element.findall(tag)``  -> *direct* children with that tag
+* ``Element.iterchildren()``-> direct element children, in order
+* ``Element.itertext()``    -> all descendant text, document order
+* ``Element.text``          -> text between the start tag and the first child element
+* ``len(element)``          -> number of direct element children
+* ``element.attrib``        -> attribute dict (first occurrence wins)
+
+Entities are decoded like lxml does (``&nbsp;`` -> ``\xa0``) via ``html.unescape``.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from typing import Iterator, List, Optional, Union
+
+# Tags that never have content (HTML void elements) -- a subset is enough for
+# wiki-table fragments; anything else self-closes only with an explicit "/>".
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "wbr", "col", "source", "area", "base"}
+)
+
+# Elements that implicitly close an open element with the same (or listed) tag,
+# mirroring how real HTML parsers (and lxml.html) recover from unclosed tags.
+_IMPLICIT_CLOSERS = {
+    "tr": ("tr", "td", "th"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+    "li": ("li",),
+    "p": ("p",),
+}
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>")
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+)))?"
+)
+
+
+class Element:
+    """A tiny DOM node: tag name, attribute dict, ordered mixed children."""
+
+    __slots__ = ("tag", "attrib", "children")
+
+    def __init__(self, tag: str, attrib: Optional[dict] = None):
+        self.tag = tag
+        self.attrib: dict = attrib or {}
+        # children holds `str` (text nodes) and `Element` instances, interleaved.
+        self.children: List[Union[str, "Element"]] = []
+
+    # --- lxml-compatible surface (only what the reference pipeline touches) ---
+
+    @property
+    def text(self) -> Optional[str]:
+        """Text before the first child element (lxml ``.text`` semantics)."""
+        if self.children and isinstance(self.children[0], str):
+            return self.children[0]
+        return None
+
+    def findall(self, tag: str) -> List["Element"]:
+        """Direct children with the given tag (lxml ``findall('th')`` on a row)."""
+        return [c for c in self.children if isinstance(c, Element) and c.tag == tag]
+
+    def iterchildren(self) -> Iterator["Element"]:
+        for c in self.children:
+            if isinstance(c, Element):
+                yield c
+
+    def itertext(self) -> Iterator[str]:
+        for c in self.children:
+            if isinstance(c, str):
+                yield c
+            else:
+                yield from c.itertext()
+
+    def __len__(self) -> int:
+        return sum(1 for c in self.children if isinstance(c, Element))
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"<Element {self.tag} attrs={self.attrib} kids={len(self.children)}>"
+
+
+def _parse_attrs(raw: str) -> dict:
+    attrs: dict = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1)
+        value = m.group(3)
+        if value is None:
+            value = m.group(4)
+        if value is None:
+            value = m.group(5)
+        if value is None:
+            value = ""  # bare attribute
+        if name not in attrs:  # first occurrence wins (lxml keeps the first too)
+            attrs[name] = _htmlmod.unescape(value)
+    return attrs
+
+
+def parse_fragment(markup: str) -> Element:
+    """Parse an HTML fragment into a tree rooted at a synthetic ``<#root>``.
+
+    Tolerant tag-soup parsing: unknown close tags pop up the stack to the
+    nearest matching open element (discarded if none), unclosed elements are
+    implicitly closed per ``_IMPLICIT_CLOSERS`` or when an ancestor closes.
+    """
+    root = Element("#root")
+    stack: List[Element] = [root]
+    pos = 0
+    for m in _TAG_RE.finditer(markup):
+        start, end = m.span()
+        if start > pos:
+            text = _htmlmod.unescape(markup[pos:start])
+            if text:
+                top = stack[-1]
+                if top.children and isinstance(top.children[-1], str):
+                    top.children[-1] += text  # merge adjacent text nodes
+                else:
+                    top.children.append(text)
+        pos = end
+        closing, tag, rawattrs, selfclose = m.groups()
+        tag = tag.lower()
+        if closing:
+            # pop to the matching open tag, if present anywhere on the stack
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        # implicit closes (e.g. a <tr> closes a still-open <tr>/<td>/<th>)
+        closers = _IMPLICIT_CLOSERS.get(tag)
+        if closers:
+            while len(stack) > 1 and stack[-1].tag in closers:
+                stack.pop()
+        node = Element(tag, _parse_attrs(rawattrs))
+        stack[-1].children.append(node)
+        if not selfclose and tag not in _VOID_TAGS:
+            stack.append(node)
+    if pos < len(markup):
+        tail = _htmlmod.unescape(markup[pos:])
+        if tail:
+            top = stack[-1]
+            if top.children and isinstance(top.children[-1], str):
+                top.children[-1] += tail
+            else:
+                top.children.append(tail)
+    return root
+
+
+def find_elements(node: Element, tag: str) -> List[Element]:
+    """All descendants with the given tag, document order (lxml ``//tag``)."""
+    out: List[Element] = []
+
+    def walk(n: Element) -> None:
+        for c in n.children:
+            if isinstance(c, Element):
+                if c.tag == tag:
+                    out.append(c)
+                walk(c)
+
+    walk(node)
+    return out

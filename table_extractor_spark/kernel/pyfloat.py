@@ -1,0 +1,66 @@
+"""Python-2-``float()``/``int()``-compatible numeric tests and rendering.
+
+The reference types cell values with bare ``float(value)`` / ``int(value)`` calls
+(``/root/reference/table_extractor/HtmlTableParser.py:902-912``,
+``MapperTools.py:183-209``) under Python 2.7.  Spark's ``try_cast`` accepts a
+different grammar (e.g. trailing 'D', commas under ANSI off), so numeric typing
+stays in-kernel (SURVEY.md §7.2).  Differences vs Python 3 handled here:
+
+* Python 3 ``float("1_0")`` == 10.0; Python 2 raises ValueError  -> reject '_'.
+* Everything else the fixtures exercise ('1e2', ' 7 ', 'nan', 'inf', u'\\u00a0'
+  stripping behavior) agrees between 2.7 and 3.x.
+
+Rendering: the reference stringifies values with ``str()`` at
+``MapperTools.py:327-330``; Python 2 ``str(float)`` used 12 significant digits,
+Python 3 uses ``repr`` (shortest round-trip).  The two agree on all short
+decimals; we use Python 3 ``str`` and pin that choice in the golden fixtures
+(SURVEY.md §2.10: pin observable output, not buggy mechanics).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def py2_is_float(value: Any) -> bool:
+    """``MapperTools.is_float`` semantics: True iff ``float(value)`` succeeds in py2."""
+    if isinstance(value, str) and "_" in value:
+        return False
+    try:
+        float(value)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def py2_is_int(value: Any) -> bool:
+    """``MapperTools.is_int`` semantics: True iff ``int(value)`` succeeds in py2."""
+    if isinstance(value, str) and "_" in value:
+        return False
+    try:
+        int(value)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def parser_is_float(value: Any) -> bool:
+    """``HtmlTableParser.is_float`` (:902-912): catches ValueError only.
+
+    A non-string input raising TypeError would propagate in the reference; by
+    the time it is called the value is always a string, so behavior matches.
+    """
+    if isinstance(value, str) and "_" in value:
+        return False
+    try:
+        float(value)
+        return True
+    except ValueError:
+        return False
+
+
+def value_to_str(value: Any) -> str:
+    """``MapperTools.extract_value_from_cell`` tail (:327-330): str() non-strings."""
+    if isinstance(value, str):
+        return value
+    return str(value)

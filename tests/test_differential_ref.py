@@ -1,0 +1,188 @@
+"""Differential tests: my kernel vs the ACTUAL reference parser code.
+
+For every fixture table (and extra adversarial tables) we serialize the DOM to
+JSON, run the reference's own ``HtmlTableParser`` methods under Python 2.7 via
+``ref_py2_harness.py`` (lxml stubbed with an API-equivalent fake element), and
+assert my kernel produces identical refined headers / refined data / summary
+filtering.  Skipped when no python2.7 interpreter is available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+from table_extractor_spark.kernel.grid import (
+    Metrics,
+    filter_summary_rows,
+    parse_table,
+)
+from table_extractor_spark.kernel.htmlmini import Element, find_elements, parse_fragment
+from table_extractor_spark.sources.corpus import fixture_documents
+
+PY2 = "/root/.pyenv/versions/2.7.18/bin/python2.7"
+HARNESS = os.path.join(os.path.dirname(__file__), "ref_py2_harness.py")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PY2), reason="python2.7 not available for differential run"
+)
+
+
+def dom_to_json(node: Element) -> dict:
+    return {
+        "tag": node.tag,
+        "attrib": node.attrib,
+        "children": [
+            c if isinstance(c, str) else dom_to_json(c) for c in node.children
+        ],
+    }
+
+
+def run_reference(table_json: dict, section: str = "Sec") -> dict:
+    proc = subprocess.run(
+        [PY2, HARNESS],
+        input=json.dumps({"table": table_json, "section": section}).encode(),
+        capture_output=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    return json.loads(proc.stdout.decode())
+
+
+def run_mine(table: Element) -> dict:
+    m = Metrics()
+    tab = parse_table(table, m)
+    data = tab.data_refined
+    m.data_extracted_to_map = 0  # isolate the summary-filter delta (harness parity)
+    if data:
+        data = filter_summary_rows(data, m)
+    return {
+        "headers_found": bool(getattr(tab, "headers", None) is not None and tab.error != "E2"),
+        "vertical": 1 if tab.vertical else 0,
+        "headers_refined": [h["th"] for h in tab.headers_refined],
+        "headers_not_resolved": m.headers_not_resolved,
+        "data_refined": [
+            sorted([[k, list(v)] for k, v in row.items()]) for row in data
+        ],
+        "to_map_delta": m.data_extracted_to_map if data else 0,
+    }
+
+
+def tables_from_markup(markup: str):
+    return find_elements(parse_fragment(markup), "table")
+
+
+def fixture_tables():
+    out = []
+    for doc_id, spans in fixture_documents():
+        if doc_id == "soccer_mega":
+            continue
+        for s in spans:
+            if s["kind"] == "text" and "<table" in s["text"]:
+                for i, t in enumerate(tables_from_markup(s["text"])):
+                    out.append((f"{doc_id}[{i}]", t))
+    return out
+
+
+EXTRA_MARKUP = {
+    # colspan+rowspan header interaction (aliasing; collapses to E3, §2.10)
+    "colspan_rowspan": (
+        '<table class="wikitable">'
+        '<tr><th colspan="2" rowspan="2">Big</th><th>S</th></tr><tr><th>X</th>'
+        "</tr><tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    ),
+    # channel-tunnel shape: rowspan + colspan with aligned sub row
+    "tunnel": (
+        '<table class="wikitable">'
+        '<tr><th rowspan="2">Year</th><th colspan="2">Passengers</th></tr>'
+        "<tr><th>Eurostar</th><th>Shuttle</th></tr>"
+        "<tr><td>1995</td><td>2.9</td><td>1.2</td></tr></table>"
+    ),
+    # trailing header row after data (latch) + row longer than headers
+    "latch_long_row": (
+        '<table class="wikitable"><tr><th>A</th><th>B</th></tr>'
+        "<tr><td>1</td><td>2</td><td>3</td></tr><tr><th>Z</th></tr></table>"
+    ),
+    # adjacent Totale rows (iterator-skip) and double Totale in one row (E3)
+    "totale_adjacent": (
+        '<table class="wikitable"><tr><th>A</th></tr>'
+        "<tr><td>Totale</td></tr><tr><td>Totale</td></tr><tr><td>k</td></tr></table>"
+    ),
+    "totale_double": (
+        '<table class="wikitable"><tr><th>A</th><th>B</th></tr>'
+        "<tr><td>Totale</td><td>Totale</td></tr></table>"
+    ),
+    # duplicate header text, empty th, anchors with title / class=new
+    "dup_headers": (
+        '<table class="wikitable"><tr><th>X</th><th>X</th><th></th></tr>'
+        "<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    ),
+    "anchors": (
+        '<table class="wikitable"><tr><th>Who</th><th>Where</th></tr>'
+        '<tr><td><a href="/wiki/A_B" title="A B">A B</a> extra</td>'
+        '<td><a class="new">missing</a>text</td></tr></table>'
+    ),
+    # data colspan expansion + '-' empties + float zoo
+    "data_colspan": (
+        '<table class="wikitable"><tr><th>A</th><th>B</th><th>C</th></tr>'
+        '<tr><td colspan="2">wide</td><td></td></tr>'
+        "<tr><td>1e2</td><td> 7 </td><td>0.0</td></tr></table>"
+    ),
+    # vertical table with multiple tds per row
+    "vertical_multi": (
+        '<table class="wikitable"><tr><th>K</th><td>v1</td><td>v2</td></tr>'
+        "<tr><th>L</th><td>w1</td></tr></table>"
+    ),
+    # summary-row filter: career totals matching running sums
+    "summary": (
+        '<table class="wikitable"><tr><th>Season</th><th>GP</th><th>G</th></tr>'
+        "<tr><td>2010 Alpha Club</td><td>10</td><td>3</td></tr>"
+        "<tr><td>2011 Alpha Club</td><td>20</td><td>5</td></tr>"
+        "<tr><td>Career overall sum</td><td>30</td><td>8</td></tr></table>"
+    ),
+    # mean-based summary detection (str(mean) compare)
+    "summary_mean": (
+        '<table class="wikitable"><tr><th>Season</th><th>GP</th><th>G</th></tr>'
+        "<tr><td>2010 Alpha Club</td><td>10</td><td>4</td></tr>"
+        "<tr><td>2011 Alpha Club</td><td>20</td><td>6</td></tr>"
+        "<tr><td>Career average xyzw</td><td>15.0</td><td>5.0</td></tr></table>"
+    ),
+    # nbsp asymmetry + citations + quotes + newline handling
+    "cleanups": (
+        '<table class="wikitable"><tr><th>Role\xa0[12]</th><th>Co\'s\nname</th></tr>'
+        "<tr><td>Lead\xa0role</td><td>Big\nCo</td></tr></table>"
+    ),
+    # accented header -> ascii '?' -> '.', accented data kept
+    "accents": (
+        '<table class="wikitable"><tr><th>Campeão</th></tr>'
+        "<tr><td>Pelé</td></tr></table>"
+    ),
+}
+
+
+@pytest.mark.parametrize("name,table", fixture_tables())
+def test_fixture_tables_match_reference(name, table):
+    table_json = dom_to_json(table)
+    ref = run_reference(table_json)
+    mine = run_mine(table)
+    for key in ("vertical", "headers_refined", "headers_not_resolved",
+                "data_refined", "to_map_delta"):
+        assert mine[key] == ref[key], f"{name}: {key}\nmine={mine[key]}\nref ={ref[key]}"
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_MARKUP))
+def test_adversarial_tables_match_reference(name):
+    tables = tables_from_markup(EXTRA_MARKUP[name])
+    assert tables
+    for i, table in enumerate(tables):
+        table_json = dom_to_json(table)
+        ref = run_reference(table_json)
+        mine = run_mine(table)
+        for key in ("vertical", "headers_refined", "headers_not_resolved",
+                    "data_refined", "to_map_delta"):
+            assert mine[key] == ref[key], (
+                f"{name}[{i}]: {key}\nmine={mine[key]}\nref ={ref[key]}"
+            )
