@@ -1,0 +1,138 @@
+"""Self-check harness mimicking the driver's Spark-vs-DuckDB comparison.
+
+For each ``queries()[name]``:
+  * run the Spark DataFrame at sf0.01,
+  * run ``oracle_sql()[name]`` in DuckDB over the same parquet views,
+  * compare row count, column-name set, and an order-insensitive value hash
+    (columns sorted by name, every value normalized to a string, rows sorted).
+
+Usage: python3 scripts/selfcheck_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return f"{v.normalize():f}"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{int(v)}"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "surrogateescape"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def main():
+    only = set(sys.argv[1:])
+    import __spark_entry__ as entry
+    from tests.conftest import make_spark
+
+    spark = make_spark("local[8]", 16)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(rows)} rows, "
+                  f"{time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} != {len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"columns {sorted(cols)} != {sorted(ocols)}")
+        if not problems:
+            fp_s = frame_fingerprint(cols, rows)
+            fp_o = frame_fingerprint(ocols, orows)
+            if fp_s != fp_o:
+                problems.append("value-hash mismatch")
+                # show a differing sample
+                order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("|".join(norm_value(r[i]) for i in order_s) for r in rows)
+                lo = sorted("|".join(norm_value(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"  spark: {a[:300]}")
+                        problems.append(f"  duck : {b[:300]}")
+                        break
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+        else:
+            print(f"OK   {name}: {len(rows)} rows match ({time.time()-t0:.1f}s)")
+    print()
+    if failures:
+        print("FAILURES:", ", ".join(failures))
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()

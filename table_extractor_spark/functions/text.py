@@ -1,0 +1,66 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All JVM-side built-ins (whole-stage codegen); nothing here crosses into
+Python.  Ratios divide exact integer counts in double, so results are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# a BPE-ish tokenizer regex: lowercase runs, digit runs, or single non-space
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def words(text_col) -> F.Column:
+    return F.split(text_col, " ")
+
+
+def token_count(text_col) -> F.Column:
+    """Regex token count (TOKEN_RE) — the BPE-ish approximation."""
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0))
+
+
+def whitespace_token_count(text_col) -> F.Column:
+    return F.size(words(text_col))
+
+
+def stopword_ratio(text_col, stopwords=DEFAULT_STOPWORDS) -> F.Column:
+    ws = words(F.lower(text_col))
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return hits.cast("double") / F.size(ws).cast("double")
+
+
+def punct_ratio(text_col) -> F.Column:
+    n = F.length(text_col)
+    punct = n - F.length(F.regexp_replace(text_col, r"[!-/:-@\[-`{-~]", ""))
+    return punct.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+
+def mean_word_len(text_col) -> F.Column:
+    ws = words(text_col)
+    total = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(ws).cast("double")
+
+
+def quality_score(text_col, stopwords=DEFAULT_STOPWORDS) -> F.Column:
+    """Composite quality heuristic in [0, ~1]: rewards stopword presence and
+    moderate word length, penalizes punctuation soup.  Deterministic double
+    arithmetic over exact counts."""
+    return F.round(
+        stopword_ratio(text_col, stopwords) * 0.5
+        + (1.0 - punct_ratio(text_col)) * 0.3
+        + F.when(mean_word_len(text_col).between(3.0, 8.0), 0.2).otherwise(0.0),
+        6,
+    )
+
+
+def lang_id(text_col, en_stopwords=DEFAULT_STOPWORDS, threshold: float = 0.05) -> F.Column:
+    """n-gram/stopword heuristic language id: 'en' when the English stopword
+    ratio clears the threshold, else 'und' (undetermined)."""
+    return F.when(stopword_ratio(text_col, en_stopwords) > threshold, "en").otherwise(
+        "und"
+    )

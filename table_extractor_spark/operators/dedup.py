@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is the engine-agnostic H(s) (md5-prefix bigint) so results are
+reproducible anywhere and cross-checkable against a SQL oracle.  Every
+operator is expressed shuffle-consciously:
+
+* signatures / sketches are PER-ROW higher-order functions (zero shuffle,
+  whole-stage codegen) — never explode+groupBy when aggregate() can do it;
+* candidate generation (LSH banding) shuffles once on (band, bucket);
+* exact verification joins only the candidate pairs, never the cross product.
+
+At 100 TB the only all-pairs work ever materialized is within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_P = 2147483647  # 2^31 - 1; h < 2^31 keeps a*h+b within int64
+DEFAULT_PERMS = 16
+DEFAULT_BAND_ROWS = 4
+
+
+def hash60(col) -> F.Column:
+    """Deterministic 60-bit hash of a string column (shared with DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text_col, k: int = 3) -> F.Column:
+    """k-word shingles as an array<string> (empty-safe)."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingle_hashes(text_col, k: int = 3) -> F.Column:
+    """Distinct shingle hashes reduced mod MINHASH_P — the minhash input."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col, k), lambda s: hash60(s) % MINHASH_P)
+    )
+
+
+def minhash_signature(text_col, perms: int = DEFAULT_PERMS, k: int = 3) -> F.Column:
+    """array<long> minhash signature, computed per-row (NO shuffle):
+    sig[i] = min over shingles of (a_i * h + b_i) mod P, a_i = 2i+3, b_i = 17i+5.
+    """
+    hs = shingle_hashes(text_col, k)
+
+    # NB: closure factory, not a default-arg lambda — a second lambda param
+    # makes pyspark's transform() pass the ARRAY INDEX there, silently
+    # shadowing the per-permutation constant.
+    def perm_min(a: int, b: int) -> F.Column:
+        return F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+
+    return F.array(*[perm_min(2 * i + 3, 17 * i + 5) for i in range(perms)])
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; keeper = min id.
+
+    Returns (content_hash, keeper, n_dupes).  One shuffle on the 60-bit hash
+    (uniform; no skew unless the corpus has a mega-duplicate-class, which AQE
+    skew-split absorbs)."""
+    return (
+        df.select(hash60(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            (F.count("*") - 1).alias("n_dupes"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    perms: int = DEFAULT_PERMS,
+) -> DataFrame:
+    """(id, sig array<long>) — per-row, shuffle-free."""
+    return df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), perms).alias("sig")
+    )
+
+
+def lsh_buckets(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = DEFAULT_PERMS // DEFAULT_BAND_ROWS, rows_per_band: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """(id, band, bucket): bucket = H(join of the band's signature slice).
+
+    posexplode of a per-row transform — the only shuffle is whatever the
+    consumer does with (band, bucket)."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: hash60(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any (band, bucket).
+
+    Self-join co-partitioned on (band, bucket): Catalyst plans one shuffle per
+    side on the join key; bucket sizes are near-duplicate cluster sizes, so
+    the join never approaches a cross product."""
+    left = buckets.select("band", "bucket", F.col(id_col).alias("a"))
+    right = buckets.select("band", "bucket", F.col(id_col).alias("b"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-gram Jaccard for the given candidate pairs:
+    (a, b, n_common, n_union, jaccard).  jaccard is an exact int/int division
+    in double — engine-reproducible bit for bit."""
+    sets_ = df.select(
+        F.col(id_col).alias("sid"), shingle_hashes(F.col(text_col), k).alias("sh")
+    )
+    with_a = pairs.join(sets_.withColumnRenamed("sid", "a").withColumnRenamed("sh", "sha"), "a")
+    with_b = with_a.join(
+        sets_.withColumnRenamed("sid", "b").withColumnRenamed("sh", "shb"), "b"
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return with_b.select(
+        "a",
+        "b",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def simhash(text_col, bits: int = 32) -> F.Column:
+    """Per-row 32-bit SimHash over word hashes (no shuffle).
+
+    bit j set iff sum over words of (2*bit_j(H(w)) - 1) > 0."""
+    words = F.split(text_col, " ")
+    hs = F.transform(words, lambda w: hash60(w))
+
+    def bit_term(j: int) -> F.Column:  # closure factory (see minhash_signature)
+        vote = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        return F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    out = bit_term(0)
+    for j in range(1, bits):
+        out = out + bit_term(j)
+    return out
+
+
+def bottomk_fingerprint(text_col, k: int = 4, shingle_k: int = 3) -> F.Column:
+    """Bottom-k sketch (document fingerprint): k smallest distinct shingle
+    hashes, sorted — a deterministic winnowing-style fingerprint."""
+    return F.slice(F.array_sort(shingle_hashes(text_col, shingle_k)), 1, k)

@@ -1,0 +1,945 @@
+"""Operator query battery: every SURVEY.md §2 operator as a (Spark, oracle-SQL)
+pair, plus the training-data-pipeline operators (dedup, similarity, text
+analysis) the engine adds on top of the reference.
+
+Each entry is registered as ``(name, spark_callable, duckdb_sql)``; the driver
+runs both at sf=0.01 and compares row-count + schema + order-insensitive
+value hash (see ``/root/repo/__spark_entry__.py``).  Design rules that keep
+the two engines hash-identical:
+
+* money/quantity aggregates go through DECIMAL casts (exact), ratios through
+  double division of exact operands — never compare raw floating sums;
+* the shared deterministic hash is H(s) = bigint(first 15 hex chars of
+  md5(s)): Spark ``conv(substr(md5(s),1,15),16,10)``, DuckDB
+  ``('0x'||substr(md5(s),1,15))::bigint``;
+* timestamps are compared as epoch microseconds (``unix_micros`` /
+  ``epoch_us``) to dodge session-timezone skew;
+* every computed column is aliased identically on both sides (driver hashes
+  sort columns by NAME).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table, synthesize_docs_from_testdata
+
+_REGISTRY: List[Tuple[str, Callable, Optional[str]]] = []
+
+# shared minhash parameters (deterministic, engine-agnostic)
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 rows per band
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn: Callable):
+        _REGISTRY.append((name, fn, oracle))
+        return fn
+
+    return deco
+
+
+def queries() -> Dict[str, Callable]:
+    return {name: fn for name, fn, _ in _REGISTRY}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, _, sql in _REGISTRY if sql is not None}
+
+
+def spark_hash(col) -> F.Column:
+    """H(s): 60-bit deterministic hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+DUCK_HASH = "(('0x' || substr(md5({0}), 1, 15))::bigint)"
+
+
+# ===========================================================================
+# A. flagship extraction (the kernel itself, oracle-checked end to end)
+# ===========================================================================
+
+
+@register(
+    "extract_synthetic",
+    oracle=f"""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Idx', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Word', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w' || CAST(i AS VARCHAR), '',
+         3 + 2 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1], '', 4 + 2 * i FROM d, g
+)
+""",
+)
+def extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full kernel pipeline on a corpus synthesized (deterministically, in
+    pure SQL) from the ``documents`` table — which is exactly what lets the
+    DuckDB oracle recompute the expected per-document span sequence
+    independently.  This is the strongest end-to-end check of the engine."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    out, _ = extract_pipeline(docs, num_partitions=32, salt=1)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
+    "extract_metrics_report",
+    oracle="""
+SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,
+       6 * COUNT(*) AS rows_extracted, 12 * COUNT(*) AS data_extracted,
+       6 * COUNT(*) AS triples_row, 0 AS kernel_errors
+FROM documents
+""",
+)
+def extract_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A1: the reference's final report as one aggregation over the
+    per-document metrics table (Utilities.py:384-449)."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    _, metrics = extract_pipeline(docs, num_partitions=32)
+    return metrics.agg(
+        F.count("*").alias("docs"),
+        F.sum("tables_num").alias("tot_tables"),
+        F.sum("tables_analyzed").alias("tables_analyzed"),
+        F.sum("rows_extracted").alias("rows_extracted"),
+        F.sum("data_extracted").alias("data_extracted"),
+        F.sum("triples_row").alias("triples_row"),
+        F.sum("kernel_errors").alias("kernel_errors"),
+    )
+
+
+@register(
+    "header_inventory",
+    oracle="""
+SELECT h.header, COUNT(*) AS n_tables,
+       (list_sort(list('doc_' || CAST(d.doc_id AS VARCHAR))))[1:3] AS examples
+FROM documents d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
+GROUP BY h.header
+""",
+)
+def header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyDomainExplorer inventory path (SURVEY §3.2 / A5 / A6 / O4):
+    distinct headers with table counts and <=3 example pages."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    out, _ = extract_pipeline(docs, num_partitions=32)
+    return (
+        out.filter(F.col("kind") == "header")
+        .groupBy(F.col("text").alias("header"))
+        .agg(
+            F.count("*").alias("n_tables"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 3).alias("examples"),
+        )
+    )
+
+
+# ===========================================================================
+# B. core relational operators over the TPC-H-ish tables
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS sum_disc_value,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship relational aggregate (TPC-H Q1 shape): map-side partial aggs,
+    two-key groupBy, decimal-exact sums (A1/A2 pattern at warehouse scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * dec("l_discount")).alias("sum_disc_value"),
+            F.count("*").alias("count_order"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "resource_count",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
+)
+def resource_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SPARQL count(distinct ?s) -> countDistinct."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "effectiveness_ratio",
+    oracle="""
+SELECT ROUND(CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS effectiveness
+FROM lineitem
+""",
+)
+def effectiveness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: mapped/extractable ratio as a single agg (Utilities.py:445-449)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("effectiveness")
+    )
+
+
+@register(
+    "min_rows_filter",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+""",
+)
+def min_rows_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: n_rows > 1 gate (pyDomainExplorer.py:79-81) as HAVING."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "totale_filter",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type <> 'error' GROUP BY event_type
+""",
+)
+def totale_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: drop marker rows (HtmlTableParser.py:783-800) as a NOT-filter."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rule_lookup_cascade",
+    oracle="""
+WITH strict_rules AS (
+  SELECT n_nationkey AS key, 'nation:' || n_name AS property
+  FROM nation WHERE n_nationkey % 2 = 0
+), loose_rules AS (
+  SELECT r_regionkey AS key, 'region:' || r_name AS property FROM region
+)
+SELECT COALESCE(s.property, l.property, 'UNMAPPED') AS property,
+       COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN strict_rules s ON c.c_nationkey = s.key
+LEFT JOIN loose_rules l ON n.n_regionkey = l.key
+GROUP BY 1
+""",
+)
+def rule_lookup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the strict-then-loose mapping-rule cascade (Mapper.py:134-191) as
+    two BROADCAST left joins + coalesce — the Spark-native replacement for the
+    reference's per-cell dict probes."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    strict = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").alias("skey"),
+        F.concat(F.lit("nation:"), "n_name").alias("sprop"),
+    )
+    loose = region.select(
+        F.col("r_regionkey").alias("lkey"),
+        F.concat(F.lit("region:"), "r_name").alias("lprop"),
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(strict), F.col("c_nationkey") == F.col("skey"), "left")
+        .join(F.broadcast(loose), F.col("n_regionkey") == F.col("lkey"), "left")
+        .select(
+            F.coalesce("sprop", "lprop", F.lit("UNMAPPED")).alias("property")
+        )
+        .groupBy("property")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "section_rule_gate",
+    oracle="""
+WITH section_rules AS (
+  SELECT UNNEST(['1-URGENT', '2-HIGH']) AS key,
+         UNNEST(['urgent', 'high']) AS property
+)
+SELECT r.property, COUNT(*) AS n FROM orders o
+JOIN section_rules r ON o.o_orderpriority = r.key
+GROUP BY r.property
+""",
+)
+def section_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: SECTION_ rule gate (Mapper.py:147-155) — unmapped sections drop the
+    whole table; here an inner broadcast join drops unmapped orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    rules = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("2-HIGH", "high")], ["key", "property"]
+    )
+    return (
+        orders.join(F.broadcast(rules), orders.o_orderpriority == rules.key)
+        .groupBy("property")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "entity_probe_semi",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+GROUP BY c_nationkey
+""",
+)
+def entity_probe_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the resource-existence ASK probe (Mapper.py:216-237) as a broadcast
+    LEFT SEMI join against the known-entities table."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.join(
+            F.broadcast(supplier.select(F.col("s_nationkey").alias("c_nationkey"))),
+            on="c_nationkey",
+            how="leftsemi",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rules_merge",
+    oracle="""
+WITH old_rules AS (
+  SELECT n_name AS key, 'old:' || CAST(n_nationkey AS VARCHAR) AS property,
+         0 AS version FROM nation
+), new_rules AS (
+  SELECT n_name AS key, 'new:' || CAST(n_nationkey AS VARCHAR) AS property,
+         1 AS version FROM nation WHERE n_nationkey % 3 = 0
+), unioned AS (
+  SELECT * FROM old_rules UNION ALL SELECT * FROM new_rules
+)
+SELECT key, arg_max(property, version) AS property FROM unioned GROUP BY key
+""",
+)
+def rules_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: old ∪ new rules, last-wins (MapperTools.py:130-147) via
+    unionByName + max_by on a version column."""
+    nation = load_table(spark, sf_dir, "nation")
+    old = nation.select(
+        F.col("n_name").alias("key"),
+        F.concat(F.lit("old:"), F.col("n_nationkey").cast("string")).alias("property"),
+        F.lit(0).alias("version"),
+    )
+    new = nation.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.col("n_name").alias("key"),
+        F.concat(F.lit("new:"), F.col("n_nationkey").cast("string")).alias("property"),
+        F.lit(1).alias("version"),
+    )
+    return (
+        old.unionByName(new)
+        .groupBy("key")
+        .agg(F.expr("max_by(property, version)").alias("property"))
+    )
+
+
+@register(
+    "zip_join_positional",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, words[t.i] AS word
+FROM w, UNNEST(generate_series(1, len(words))) t(i)
+""",
+)
+def zip_join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the header<->cell positional zip join (HtmlTableParser.py:914-963)
+    as posexplode — an index join, not a hash join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@register(
+    "reification_index",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber) AS reif_index
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def reification_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W5: the per-resource monotone row counter (Mapper.py:97-98) as
+    row_number over (doc, table order, row order)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("reif_index")
+    )
+
+
+@register(
+    "section_fill_down",
+    oracle="""
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_error_event
+FROM events
+""",
+)
+def section_fill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: section context = forward-fill of the latest heading
+    (HtmlTableParser.py:220-268) — last_value(... ignore nulls) over rows
+    unbounded preceding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "error", F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(marker, ignorenulls=True).over(w).alias("last_error_event"),
+    )
+
+
+@register(
+    "header_latch",
+    oracle="""
+SELECT event_id, user_id,
+       MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS started_data
+FROM events
+""",
+)
+def header_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the started_data latch (HtmlTableParser.py:287-309) as a running
+    max over the partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w)
+        .alias("started_data"),
+    )
+
+
+@register(
+    "running_column_sums",
+    oracle="""
+SELECT event_id, user_id,
+       SUM(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_sum
+FROM events
+""",
+)
+def running_column_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/P5: per-column running sums of PRIOR rows (MapperTools.py:217-235)
+    — the summary-row filter's window shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("prior_sum"),
+    )
+
+
+@register(
+    "summary_row_filter",
+    oracle="""
+WITH sums AS (
+  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+         SUM(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_sum
+  FROM events
+)
+SELECT COUNT(*) AS n_summary_rows FROM sums WHERE v = prior_sum
+""",
+)
+def summary_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 analogue in pure SQL: rows equal to the running sum of prior rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.select(v.alias("v"), F.sum(v).over(w).alias("prior_sum"))
+        .filter(F.col("v") == F.col("prior_sum"))
+        .agg(F.count("*").alias("n_summary_rows"))
+    )
+
+
+@register(
+    "distinct_header_inventory",
+    oracle="""
+SELECT event_type, MIN(user_id) AS first_user, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def distinct_header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct header inventory, first-seen example (pyDomainExplorer)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("user_id").alias("first_user"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "section_grouping",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       (list_sort(list(DISTINCT user_id)))[1:3] AS examples
+FROM events GROUP BY event_type
+""",
+)
+def section_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/O4: section grouping with <=3 example pages
+    (pyDomainExplorer.py:84-158)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.slice(F.sort_array(F.collect_set("user_id")), 1, 3).alias("examples"),
+        )
+    )
+
+
+@register(
+    "order_preservation",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber
+""",
+)
+def order_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: explicit order columns carried as data (order-as-schema)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 40)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "scalar_text_cleanup",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name || ' [12]', '\\[\\d+\\]', '', 'g') AS no_citation,
+       replace(p_name || CHR(160) || 'x', CHR(160), ' ') AS nbsp_to_space,
+       replace(p_name || CHR(160) || 'x', CHR(160), '') AS nbsp_deleted,
+       replace('it''s ' || p_name, '''', '.') AS quote_mangled,
+       replace(p_name || CHR(10) || 'y', CHR(10), '/') AS newline_data,
+       CASE WHEN p_name <> '' AND substr(p_name, 1, 1) = ' '
+            THEN substr(p_name, 2) ELSE p_name END AS lstrip_one
+FROM part WHERE p_partkey < 200
+""",
+)
+def scalar_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8: the reference's string cleanups as built-in JVM functions
+    (citations, nbsp asymmetry, quote mangling, newline rules)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    nbsp = F.lit("\xa0")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.concat("p_name", F.lit(" [12]")), r"\[\d+\]", "").alias(
+            "no_citation"
+        ),
+        F.replace(F.concat("p_name", nbsp, F.lit("x")), nbsp, F.lit(" ")).alias(
+            "nbsp_to_space"
+        ),
+        F.replace(F.concat("p_name", nbsp, F.lit("x")), nbsp, F.lit("")).alias(
+            "nbsp_deleted"
+        ),
+        F.replace(F.concat(F.lit("it's "), "p_name"), F.lit("'"), F.lit(".")).alias(
+            "quote_mangled"
+        ),
+        F.replace(
+            F.concat("p_name", F.lit("\n"), F.lit("y")), F.lit("\n"), F.lit("/")
+        ).alias("newline_data"),
+        F.when(
+            (F.col("p_name") != "") & (F.substring("p_name", 1, 1) == " "),
+            F.expr("substring(p_name, 2)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("lstrip_one"),
+    )
+
+
+@register(
+    "float_typing",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_typed,
+       TRY_CAST(l_returnflag AS DOUBLE) AS flag_typed
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def float_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: numeric typing — try_cast in the DataFrame layer (the kernel uses
+    the py2-float grammar in-kernel where exactness matters)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_typed"),
+        F.col("l_returnflag").try_cast("double").alias("flag_typed"),
+    )
+
+
+@register(
+    "uri_tail_split",
+    oracle="""
+SELECT p_partkey,
+       split_part('http://dbpedia.org/resource/' || replace(p_name, ' ', '_'),
+                  '/', -1) AS resource_tail
+FROM part WHERE p_partkey < 200
+""",
+)
+def uri_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: URI tail extraction (ExplorerTools.py:188-198) via
+    substring_index."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    uri = F.concat(
+        F.lit("http://dbpedia.org/resource/"), F.replace("p_name", F.lit(" "), F.lit("_"))
+    )
+    return p.select(
+        "p_partkey", F.substring_index(uri, "/", -1).alias("resource_tail")
+    )
+
+
+# ===========================================================================
+# C. training-data pipeline operators (dedup / similarity / text analysis)
+# ===========================================================================
+
+from ..functions import text as T  # noqa: E402
+from ..operators import dedup as D  # noqa: E402
+from ..operators import similarity as S  # noqa: E402
+
+# DuckDB rendering of the shared shingle pipeline (word 3-grams, distinct,
+# reduced mod P) — documents always have >= 10 words so the short-text branch
+# of word_shingles never triggers at these SFs.
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(w) - 2), "
+    "i -> (('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::bigint"
+    " % 2147483647)))"
+)
+
+_DUCK_SIG_TERMS = ", ".join(
+    f"list_min(list_transform(hs, h -> ({2 * i + 3} * h + {17 * i + 5}) % 2147483647))"
+    for i in range(MINHASH_PERMS)
+)
+
+_DUCK_SIGS_CTE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {_DUCK_SHINGLES} AS hs FROM w),
+sigs AS (SELECT doc_id, [{_DUCK_SIG_TERMS}] AS sig FROM h),
+buckets AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+         ('0x' || substr(md5(array_to_string(
+             list_transform(sig[4*b+1:4*b+4], x -> CAST(x AS VARCHAR)), ',')),
+             1, 15))::bigint AS bucket
+  FROM sigs, generate_series(0, 3) t(b)
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT {DUCK_HASH.format('text')} AS content_hash,
+       MIN(doc_id) AS keeper, COUNT(*) - 1 AS n_dupes
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=_DUCK_SIGS_CTE + "SELECT doc_id, sig FROM sigs",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lsh_buckets",
+    oracle=_DUCK_SIGS_CTE + "SELECT doc_id, band, bucket FROM buckets",
+)
+def lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return D.lsh_buckets(sigs)
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=_DUCK_SIGS_CTE + """
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+""",
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs(D.lsh_buckets(sigs))
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=_DUCK_SIGS_CTE + """
+, pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT p.a, p.b,
+       len(list_intersect(ha.hs, hb.hs)) AS n_common,
+       len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)) AS n_union,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+         / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         AS jaccard
+FROM pairs p JOIN h ha ON p.a = ha.doc_id JOIN h hb ON p.b = hb.doc_id
+""",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.lsh_buckets(D.minhash_signatures(docs)))
+    return D.ngram_jaccard(docs, pairs)
+
+
+_DUCK_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(32)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id < 100),
+h AS (SELECT doc_id, list_transform(
+        w, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs FROM w)
+SELECT doc_id, {_DUCK_SIMHASH_TERMS} AS simhash FROM h
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {_DUCK_SHINGLES} AS hs FROM w)
+SELECT doc_id, (list_sort(hs))[1:4] AS fingerprint FROM h
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.bottomk_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+_DUCK_COS = """
+round(
+  list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * v.e[i]))
+  / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 10),
+sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {_DUCK_COS} AS cos_sim
+  FROM q, v WHERE q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 3
+""",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 60)
+SELECT q.vec_id AS a, v.vec_id AS b, q.label, {_DUCK_COS} AS cos_sim
+FROM v q JOIN v v ON q.label = v.label AND q.vec_id < v.vec_id
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    v = emb.select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("e")
+    )
+    left = v.select(F.col("vec_id").alias("a"), "label", F.col("e").alias("qe"))
+    right = v.select(F.col("vec_id").alias("b"),
+                     F.col("label").alias("rlabel"), F.col("e").alias("ne"))
+    return (
+        left.join(right, (left.label == right.rlabel) & (left.a < right.b))
+        .select(
+            "a", "b", "label",
+            F.round(S.cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the','a','of','and','to','in'], x)))
+                 AS DOUBLE) / len(string_split(lower(text), ' ')) > 0.05
+            THEN 'en' ELSE 'und' END AS lang_guess,
+       lang AS lang_label
+FROM documents
+""",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        F.col("lang").alias("lang_label"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         string_split(lower(text), ' ') AS lw
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(lw, x -> list_contains(['the','a','of','and','to','in'], x)))
+         AS DOUBLE) / len(lw) AS stop_ratio,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS punct,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mwl
+  FROM t
+)
+SELECT doc_id, round(stop_ratio * 0.5 + (1.0 - punct) * 0.3
+       + (CASE WHEN mwl BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+FROM m
+""",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS re_tokens
+FROM documents
+""",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        T.token_count(F.col("text")).alias("re_tokens"),
+    )
+
+
+# rows-only (no SQL oracle): approximate ANN via sign-LSH buckets — recall vs
+# the exact top-k is evaluated in tests, not hash-compared (approximation is
+# the point; the driver records the weaker rows-only check)
+@register("ann_lsh_bucketed", oracle=None)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return S.lsh_bucketed_neighbors(emb, k=3)

@@ -1,0 +1,101 @@
+"""Sources/sinks: testdata parquet loaders and corpus materialization.
+
+At production scale the documents table is an Iceberg table
+(``spark.read.table`` / ``df.writeTo(...).append()`` with snapshot-incremental
+reads, SURVEY §2.8); this sandbox has no Iceberg runtime jar, so we read/write
+parquet directories and gate Iceberg usage behind availability — the plan
+shape (scan -> filter -> shuffle -> kernel) is identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus import corpus_rows
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def fixture_corpus_df(spark: SparkSession, copies: int = 1) -> DataFrame:
+    """The deterministic fixture corpus as a DataFrame (FIXTURES.md §1)."""
+    from ..plans.extract import INPUT_SCHEMA
+
+    return spark.createDataFrame(corpus_rows(copies), schema=INPUT_SCHEMA)
+
+
+def synthesize_docs_from_testdata(
+    spark: SparkSession, sf_dir: str, limit: Optional[int] = None
+) -> DataFrame:
+    """Deterministically derive an interleaved (doc_id, spans) corpus from the
+    driver's ``documents`` table (BASELINE.json: "synthesise it
+    deterministically at small scale ... no external data").
+
+    Each source row becomes one document:
+      span0: heading  'Profile <lang>'
+      span1: text     prose prefix + a wikitable whose rows are the first
+                      up-to-6 words of the document text (2 columns: idx, word)
+      span2: media    img://doc_<id>/0.jpg  (caption = source)
+
+    The construction is pure SQL over (doc_id, text, lang, source) — which is
+    exactly what lets the DuckDB oracle recompute the expected extraction
+    output independently (see __spark_entry__.oracle_sql)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if limit:
+        docs = docs.orderBy("doc_id").limit(limit)
+    words = F.slice(F.split(F.col("text"), " "), 1, 6)
+    row_markup = F.concat_ws(
+        "",
+        F.transform(
+            words,
+            lambda w, i: F.concat(
+                F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
+                w, F.lit("</td></tr>"),
+            ),
+        ),
+    )
+    table_markup = F.concat(
+        F.lit('<table class="wikitable"><tr><th>Idx</th><th>Word</th></tr>'),
+        row_markup,
+        F.lit("</table>"),
+    )
+    did = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    return docs.select(
+        did.alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("heading").alias("kind"),
+                F.concat(F.lit("Profile "), F.col("lang")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("About this page. "), table_markup).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.col("source").alias("text"),
+                F.concat(F.lit("img://"), did, F.lit("/0.jpg")).alias("media_ref"),
+                F.lit(2).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )

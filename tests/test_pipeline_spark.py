@@ -1,0 +1,91 @@
+"""End-to-end Spark pipeline tests: golden equality, determinism, metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from table_extractor_spark.plans.extract import extract_pipeline, parse_stage
+from table_extractor_spark.sources.tables import fixture_corpus_df
+
+GOLDEN = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden_spans.json"), encoding="utf-8")
+)
+
+
+def collect_by_doc(out_df):
+    rows = out_df.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            [r.kind, r.text, r.media_ref, r.order]
+        )
+    for spans in by_doc.values():
+        spans.sort(key=lambda s: s[3])  # order is data; row order is not
+    return by_doc
+
+
+def test_pipeline_matches_golden(spark):
+    docs = fixture_corpus_df(spark)
+    out, _metrics = extract_pipeline(docs, num_partitions=5, salt=3)
+    by_doc = collect_by_doc(out)
+    for doc_id, expected in GOLDEN.items():
+        if doc_id == "soccer_mega":
+            assert len(by_doc[doc_id]) == expected["spans_len"]
+            continue
+        if not expected["spans"]:
+            assert doc_id not in by_doc  # table-less docs emit nothing
+            continue
+        assert by_doc[doc_id] == expected["spans"], doc_id
+
+
+def test_pipeline_prefilter_equivalence(spark):
+    docs = fixture_corpus_df(spark)
+    a, _ = extract_pipeline(docs, num_partitions=3, prefilter=True)
+    b, _ = extract_pipeline(docs, num_partitions=3, prefilter=False)
+    assert collect_by_doc(a) == collect_by_doc(b)
+
+
+def test_pipeline_salt_and_partition_invariance(spark):
+    docs = fixture_corpus_df(spark, copies=3)
+    a, _ = extract_pipeline(docs, num_partitions=2, salt=0)
+    b, _ = extract_pipeline(docs, num_partitions=11, salt=42)
+    assert collect_by_doc(a) == collect_by_doc(b)
+
+
+def test_metrics_match_golden(spark):
+    docs = fixture_corpus_df(spark)
+    _, metrics = extract_pipeline(docs, num_partitions=4, prefilter=False)
+    got = {r["doc_id"]: r.asDict() for r in metrics.collect()}
+    for doc_id, expected in GOLDEN.items():
+        em = expected["metrics"]
+        gm = got[doc_id]
+        for k, v in em.items():
+            assert gm[k] == v, f"{doc_id}.{k}: {gm[k]} != {v}"
+
+
+def test_plan_shape(spark):
+    """The physical plan must keep the prefilter JVM-side (before the Python
+    stage) and contain exactly one shuffle for the salted repartition."""
+    docs = fixture_corpus_df(spark)
+    out, _ = extract_pipeline(docs, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    assert plan.count("Exchange") == 1, plan
+    # the filter runs below (closer to scan than) the python eval
+    fpos = plan.find("Filter")
+    ppos = plan.find("EvalPython")
+    assert fpos > ppos >= 0, plan  # toString prints top-down: eval above filter
+
+
+def test_out_span_schema(spark):
+    docs = fixture_corpus_df(spark)
+    out, metrics = extract_pipeline(docs)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "kind", "text", "media_ref", "order"]
+    assert metrics.columns[0] == "doc_id"
+    parsed = parse_stage(docs)
+    assert parsed.schema["out_spans"].dataType.elementType.fieldNames() == [
+        "kind", "text", "media_ref", "order"]
