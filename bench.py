@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys reported alongside the driver contract:
+
+* ``docs_per_sec`` — flagship extraction throughput (BASELINE.json metric);
+* ``docs`` — corpus size the throughput was measured over;
+* ``cpus`` — parallelism used.
+
+Scaling-efficiency evidence across two parallelism levels (the north rule's
+N vs 4N criterion, sandboxed as local[8] vs local[32]) is produced by
+``scripts/bench_scaling.py`` and recorded in ``BENCH.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline battery: flagship kernel extraction + one representative per
+# operator family (agg, broadcast-join cascade, window fill-down, dedup chain
+# exact->minhash->LSH->verify, similarity top-k, text analysis).
+HEADLINE = (
+    "extract_synthetic",
+    "extract_metrics_report",
+    "q1_pricing_summary",
+    "rule_lookup_cascade",
+    "section_fill_down",
+    "dedup_exact",
+    "ngram_jaccard_dedup",
+    "embedding_cosine_topk",
+    "quality_score",
+    "token_count",
+)
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"table-extractor-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def parse_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    from table_extractor_spark.plans import queries as Q
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.queries()
+
+    # warm the JVM + the Python-worker pool (one tiny kernel run across all
+    # cores) so per-query times measure the plan, not session/worker startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from table_extractor_spark.plans.extract import extract_pipeline
+    from table_extractor_spark.sources.tables import fixture_corpus_df
+
+    warm_out, _ = extract_pipeline(
+        fixture_corpus_df(spark, copies=CPUS), num_partitions=CPUS
+    )
+    warm_out.count()
+
+    timings = {}
+    docs = 0
+    docs_elapsed = 0.0
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        if name == "extract_metrics_report":
+            # throughput over the full kernel pipeline (parse every doc once)
+            from table_extractor_spark.sources.tables import (
+                synthesize_docs_from_testdata,
+            )
+
+            docs = synthesize_docs_from_testdata(spark, SF_DIR).count()
+            docs_elapsed = dt
+        del n
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline-suite wall time (docs/sec in docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(SF_DIR),
+        "cpus": CPUS,
+        "docs": docs,
+        "docs_per_sec": round(docs / docs_elapsed, 2) if docs_elapsed else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,40 @@ def quality_score(text_col, stopwords=DEFAULT_STOPWORDS) -> F.Column:
     )
 
 
+def with_quality_score(
+    df, text_col: str = "text", out_col: str = "quality",
+    stopwords=DEFAULT_STOPWORDS,
+):
+    """``quality_score`` with the word arrays STAGED in their own projection.
+
+    The single-expression ``quality_score`` re-splits the text once per term
+    (split appears ~5x in the collapsed tree and higher-order functions get no
+    CSE); here each row is split exactly twice (cased + lowercased) and every
+    ratio reads the bound array columns.  Use this form in pipelines."""
+    staged = df.withColumns(
+        {
+            "__w": words(F.col(text_col)),
+            "__lw": words(F.lower(F.col(text_col))),
+        }
+    )
+    stop_ratio = (
+        F.size(F.filter(F.col("__lw"), lambda w: w.isin(*stopwords))).cast("double")
+        / F.size(F.col("__lw")).cast("double")
+    )
+    mwl = (
+        F.aggregate(F.col("__w"), F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double")
+        / F.size(F.col("__w")).cast("double")
+    )
+    score = F.round(
+        stop_ratio * 0.5
+        + (1.0 - punct_ratio(F.col(text_col))) * 0.3
+        + F.when(mwl.between(3.0, 8.0), 0.2).otherwise(0.0),
+        6,
+    )
+    return staged.withColumn(out_col, score).drop("__w", "__lw")
+
+
 def lang_id(text_col, en_stopwords=DEFAULT_STOPWORDS, threshold: float = 0.05) -> F.Column:
     """n-gram/stopword heuristic language id: 'en' when the English stopword
     ratio clears the threshold, else 'und' (undetermined)."""

@@ -46,21 +46,36 @@ def shingle_hashes(text_col, k: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(text_col, perms: int = DEFAULT_PERMS, k: int = 3) -> F.Column:
-    """array<long> minhash signature, computed per-row (NO shuffle):
+def minhash_from_hashes(hs_col, perms: int = DEFAULT_PERMS) -> F.Column:
+    """array<long> minhash signature over an ALREADY-MATERIALIZED hash array:
     sig[i] = min over shingles of (a_i * h + b_i) mod P, a_i = 2i+3, b_i = 17i+5.
+
+    ``hs_col`` must be a bound column (not an inline expression): higher-order
+    functions get no common-subexpression elimination, so referencing the
+    shingle-hash tree here ``perms`` times would recompute every md5 per
+    permutation (measured 80x slower at sf0.1).  Stage the hashes with one
+    ``select`` first — see ``minhash_signatures``.
     """
-    hs = shingle_hashes(text_col, k)
 
     # NB: closure factory, not a default-arg lambda — a second lambda param
     # makes pyspark's transform() pass the ARRAY INDEX there, silently
     # shadowing the per-permutation constant.
     def perm_min(a: int, b: int) -> F.Column:
         return F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+            F.transform(hs_col, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
         )
 
     return F.array(*[perm_min(2 * i + 3, 17 * i + 5) for i in range(perms)])
+
+
+def minhash_signature(text_col, perms: int = DEFAULT_PERMS, k: int = 3) -> F.Column:
+    """Single-expression minhash (for ad-hoc use on a handful of rows).
+
+    WARNING: evaluates the shingle-hash subtree once PER PERMUTATION (no CSE
+    inside higher-order functions).  For DataFrame-scale work always use
+    ``minhash_signatures``, which stages the hash array in its own projection.
+    """
+    return minhash_from_hashes(shingle_hashes(text_col, k), perms)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -83,9 +98,18 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     perms: int = DEFAULT_PERMS,
 ) -> DataFrame:
-    """(id, sig array<long>) — per-row, shuffle-free."""
-    return df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), perms).alias("sig")
+    """(id, sig array<long>) — per-row, shuffle-free, TWO projections.
+
+    The intermediate ``select`` materializes the shingle-hash array so each
+    row's md5 work happens exactly once; Catalyst's CollapseProject leaves the
+    split alone because the hash array is a non-cheap expression referenced
+    ``perms`` times (collapsing it would duplicate the tree — 80x slower,
+    measured at sf0.1)."""
+    hs = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col)).alias("__hs")
+    )
+    return hs.select(
+        F.col(id_col), minhash_from_hashes(F.col("__hs"), perms).alias("sig")
     )
 
 
@@ -144,27 +168,34 @@ def ngram_jaccard(
     with_b = with_a.join(
         sets_.withColumnRenamed("sid", "b").withColumnRenamed("sh", "shb"), "b"
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
-    return with_b.select(
+    # stage the intersection size once — it feeds three output columns, and
+    # array_intersect is non-cheap (no CSE across higher-order outputs)
+    staged = with_b.select(
         "a",
         "b",
-        inter.alias("n_common"),
+        F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+        (F.size("sha") + F.size("shb")).alias("__total"),
+    )
+    union = F.col("__total") - F.col("n_common")
+    return staged.select(
+        "a",
+        "b",
+        "n_common",
         union.alias("n_union"),
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        (F.col("n_common").cast("double") / union.cast("double")).alias("jaccard"),
     )
 
 
-def simhash(text_col, bits: int = 32) -> F.Column:
-    """Per-row 32-bit SimHash over word hashes (no shuffle).
+def simhash_from_hashes(hs_col, bits: int = 32) -> F.Column:
+    """32-bit SimHash over an ALREADY-MATERIALIZED word-hash array column.
 
-    bit j set iff sum over words of (2*bit_j(H(w)) - 1) > 0."""
-    words = F.split(text_col, " ")
-    hs = F.transform(words, lambda w: hash60(w))
+    bit j set iff sum over words of (2*bit_j(H(w)) - 1) > 0.  Like
+    ``minhash_from_hashes``, the hash array must be staged in its own
+    projection first — it is referenced once per bit and HOFs get no CSE."""
 
-    def bit_term(j: int) -> F.Column:  # closure factory (see minhash_signature)
+    def bit_term(j: int) -> F.Column:  # closure factory (see minhash_from_hashes)
         vote = F.aggregate(
-            hs,
+            hs_col,
             F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -176,6 +207,78 @@ def simhash(text_col, bits: int = 32) -> F.Column:
     for j in range(1, bits):
         out = out + bit_term(j)
     return out
+
+
+def simhash(text_col, bits: int = 32) -> F.Column:
+    """Single-expression SimHash (ad-hoc / few rows only — recomputes the
+    word-hash array once per bit; use ``simhash_signatures`` at scale)."""
+    words = F.split(text_col, " ")
+    return simhash_from_hashes(F.transform(words, lambda w: hash60(w)), bits)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — word hashes staged once per row, then ``bits`` votes."""
+    hs = df.select(
+        F.col(id_col),
+        F.transform(F.split(F.col(text_col), " "), lambda w: hash60(w)).alias("__hs"),
+    )
+    return hs.select(
+        F.col(id_col), simhash_from_hashes(F.col("__hs"), bits).alias("simhash")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, hs array<long>) — the distinct shingle-hash sets, computed once.
+
+    This is the shared input of minhash, LSH banding, and exact Jaccard
+    verification; at warehouse scale WRITE this frame to a table and branch."""
+    return df.select(F.col(id_col), shingle_hashes(F.col(text_col), k).alias("hs"))
+
+
+def near_dup_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    perms: int = DEFAULT_PERMS, persist: bool = True,
+) -> DataFrame:
+    """End-to-end near-dup detection with a SHARED scan:
+
+        shingle sets  (persisted: feeds both banding and verification)
+          -> minhash signatures -> LSH buckets  (persisted: self-joined)
+          -> candidate pairs -> exact k-gram Jaccard verify
+
+    Without the persists every branch recomputes the md5 shingle work —
+    buckets twice (self-join) and shingles twice more (verify join): measured
+    ~2x end-to-end at sf0.1, and strictly worse at scale.  Returns
+    (a, b, n_common, n_union, jaccard)."""
+    sets_ = shingle_sets(df, text_col, id_col)
+    if persist:
+        sets_ = sets_.persist()
+    sigs = sets_.select(
+        F.col(id_col), minhash_from_hashes(F.col("hs"), perms).alias("sig")
+    )
+    buckets = lsh_buckets(sigs, id_col)
+    if persist:
+        buckets = buckets.persist()
+    pairs = lsh_candidate_pairs(buckets, id_col)
+    with_a = pairs.join(
+        sets_.select(F.col(id_col).alias("a"), F.col("hs").alias("sha")), "a"
+    )
+    with_b = with_a.join(
+        sets_.select(F.col(id_col).alias("b"), F.col("hs").alias("shb")), "b"
+    )
+    staged = with_b.select(
+        "a", "b",
+        F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+        (F.size("sha") + F.size("shb")).alias("__total"),
+    )
+    union = F.col("__total") - F.col("n_common")
+    return staged.select(
+        "a", "b", "n_common", union.alias("n_union"),
+        (F.col("n_common").cast("double") / union.cast("double")).alias("jaccard"),
+    )
 
 
 def bottomk_fingerprint(text_col, k: int = 4, shingle_k: int = 3) -> F.Column:

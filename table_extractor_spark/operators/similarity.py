@@ -47,19 +47,23 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, cos_sim, rank); rounded to 6 dp with a
     deterministic (rounded-sim desc, neighbor asc) tie-break."""
+    # norms are per-ROW quantities: stage them on each side so the pair loop
+    # does one dot product + one multiply, not two extra norm scans per pair
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
-    )
+    ).select("neighbor_id", "nv", norm(F.col("nv")).alias("nn"))
     sims = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -77,8 +81,12 @@ def sign_lsh_bucket(vec_col, planes: int = 8) -> F.Column:
 
     Hyperplane p's weight for dimension i is a deterministic +-1 derived from
     (p, i) — engine-reproducible without any stored model: sign of
-    ((1 + (2p+3)*(i+7)) mod 13) - 6."""
-    v = as_double(vec_col)
+    ((1 + (2p+3)*(i+7)) mod 13) - 6.
+
+    ``vec_col`` should be a BOUND double-array column (stage ``as_double``
+    in its own projection first): the vector is referenced twice per plane
+    and higher-order functions get no CSE."""
+    v = vec_col
 
     def plane_bit(p: int) -> F.Column:
         proj = F.aggregate(
@@ -107,19 +115,31 @@ def lsh_bucketed_neighbors(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k inside sign-LSH buckets: one shuffle on bucket."""
-    b = vectors.select(
-        F.col(id_col).alias("vid"),
-        as_double(F.col(vec_col)).alias("v"),
-        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    # stage the double cast, then bucket + norm FROM the staged column —
+    # each is per-row work done once, not once per plane / per pair
+    b = (
+        vectors.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        )
+        .select(
+            "vid",
+            "v",
+            sign_lsh_bucket(F.col("v"), planes).alias("bucket"),
+            norm(F.col("v")).alias("vn"),
+        )
     )
-    left = b.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "bucket")
-    right = b.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
+    left = b.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+                    F.col("vn").alias("qn"), "bucket")
+    right = b.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("nv"),
+                     F.col("vn").alias("nn"), "bucket")
     sims = (
         left.join(right, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

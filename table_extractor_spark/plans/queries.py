@@ -772,8 +772,7 @@ FROM pairs p JOIN h ha ON p.a = ha.doc_id JOIN h hb ON p.b = hb.doc_id
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(D.lsh_buckets(D.minhash_signatures(docs)))
-    return D.ngram_jaccard(docs, pairs)
+    return D.near_dup_pipeline(docs)
 
 
 _DUCK_SIMHASH_TERMS = " + ".join(
@@ -795,7 +794,7 @@ SELECT doc_id, {_DUCK_SIMHASH_TERMS} AS simhash FROM h
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    return D.simhash_signatures(docs)
 
 
 @register(
@@ -914,7 +913,7 @@ FROM m
 )
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    return T.with_quality_score(docs).select("doc_id", "quality")
 
 
 @register(
