@@ -48,17 +48,13 @@ HEADLINE = (
 
 
 def build_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    from table_extractor_spark.session import build_session
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"table-extractor-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    return build_session(
+        master=f"local[{cpus}]",
+        app_name=f"table-extractor-bench-{cpus}",
+        shuffle_partitions=cpus,
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     )
 
 

@@ -118,6 +118,22 @@ def extract_document(doc_id: str, spans: List[dict]) -> Tuple[List[tuple], dict]
 
     out_spans is a list of ``(kind, text, media_ref, order)`` tuples.
     """
+    kinds, texts, refs, metrics = extract_document_flat(doc_id, spans)
+    return (
+        [(k, t, r, i) for i, (k, t, r) in enumerate(zip(kinds, texts, refs))],
+        metrics,
+    )
+
+
+def extract_document_flat(
+    doc_id: str, spans: List[dict]
+) -> Tuple[List[str], List[str], List[str], dict]:
+    """Columnar form of ``extract_document``: returns ``(kinds, texts,
+    media_refs, metrics_dict)`` as parallel flat lists; the order column is
+    implicitly ``range(len(kinds))`` (output order is contiguous from 0 by
+    construction).  This is what the Arrow stage consumes — flat string
+    columns convert to Arrow ~3x faster than a list of per-span tuples
+    nested as array<struct>."""
     metrics = Metrics()
     spans = sorted(spans, key=lambda s: s["offset"])
     headings: List[Tuple[int, str]] = [
@@ -148,8 +164,9 @@ def extract_document(doc_id: str, spans: List[dict]) -> Tuple[List[tuple], dict]
     candidates.sort(key=lambda c: (c[0], c[1], c[2]))
     metrics.tables_num = len(candidates)
 
-    out: List[tuple] = []
-    order = 0
+    kinds: List[str] = []
+    texts: List[str] = []
+    refs: List[str] = []
     for _rank, span_offset, _start, table in candidates:
         metrics.tables_analyzed += 1
         try:
@@ -163,11 +180,13 @@ def extract_document(doc_id: str, spans: List[dict]) -> Tuple[List[tuple], dict]
             continue
         section = _section_for(headings, span_offset, doc_id)
 
-        out.append(("section", section, "", order))
-        order += 1
+        kinds.append("section")
+        texts.append(section)
+        refs.append("")
         for header in tab.headers_refined:
-            out.append(("header", header["th"], "", order))
-            order += 1
+            kinds.append("header")
+            texts.append(header["th"])
+            refs.append("")
 
         rows = filter_summary_rows(tab.data_refined, metrics)
         for row in rows:
@@ -179,13 +198,16 @@ def extract_document(doc_id: str, spans: List[dict]) -> Tuple[List[tuple], dict]
                     continue
                 if len(cell) > 1:
                     for link_value in cell[:-1]:
-                        out.append(("link", value_to_str(link_value), "", order))
-                        order += 1
+                        kinds.append("link")
+                        texts.append(value_to_str(link_value))
+                        refs.append("")
                 media = list(getattr(cell, "media", ()))
-                out.append(("cell", value, media[0][1] if media else "", order))
-                order += 1
+                kinds.append("cell")
+                texts.append(value)
+                refs.append(media[0][1] if media else "")
                 for caption, ref in media:
-                    out.append(("media", caption, ref, order))
-                    order += 1
+                    kinds.append("media")
+                    texts.append(caption)
+                    refs.append(ref)
 
-    return out, asdict(metrics)
+    return kinds, texts, refs, asdict(metrics)

@@ -4,17 +4,25 @@ Spark-first layout (SURVEY.md §3.1 "Spark lifecycle equivalent"):
 
     read -> cheap JVM prefilter (P1 pushdown-able, whole-stage codegen)
          -> salted repartition on hash(doc_id, salt)   (skew defusal, §4)
-         -> ONE vectorized pandas UDF (Arrow batches) running the pure kernel
-         -> inline() explode of the returned span array  (order is data, O2)
-         -> metrics side-channel as plain columns (S8/A1/A2 aggregate later)
+         -> ONE Arrow-batched mapInPandas stage running the pure kernel,
+            emitting PRE-EXPLODED flat span columns + per-doc metric rows
+         -> filter split: span rows vs metric rows  (both JVM-side)
 
 Everything outside the kernel stays JVM-side; there are no per-row Python
 UDFs (BASELINE.json:input_hint) and no RDDs.
+
+Why mapInPandas and not a scalar pandas UDF returning array<struct>: the
+output is ~100 spans per input document, and converting per-doc lists of
+tuples into a nested Arrow array<struct> column dominated the stage (~30%
+of end-to-end wall at sf0.1x8 heavy docs).  Emitting flat string columns —
+already exploded — keeps the Python->Arrow conversion columnar and drops the
+JVM-side inline() explode entirely.  Metric rows ride along as one extra row
+per document (kind IS NULL) instead of a second parse or a struct column.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -27,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.document import extract_document
+from ..kernel.document import extract_document_flat
 from ..operators.repartition import salted_repartition
 
 # ---- schemas (FIXTURES.md §1 input / §2 output) ---------------------------
@@ -48,15 +56,6 @@ INPUT_SCHEMA = StructType(
     ]
 )
 
-OUT_SPAN_STRUCT = StructType(
-    [
-        StructField("kind", StringType(), False),
-        StructField("text", StringType()),
-        StructField("media_ref", StringType()),
-        StructField("order", IntegerType(), False),
-    ]
-)
-
 METRIC_FIELDS = (
     "tables_num",
     "tables_analyzed",
@@ -70,14 +69,20 @@ METRIC_FIELDS = (
     "kernel_errors",
 )
 
-METRICS_STRUCT = StructType([StructField(f, LongType(), False) for f in METRIC_FIELDS])
-
-PARSED_STRUCT = StructType(
+# one wide output: span rows carry (kind..order), the per-doc metrics row
+# carries kind NULL + the counters.  Nullable long columns are ~free in Arrow.
+PARSED_SCHEMA = StructType(
     [
-        StructField("out_spans", ArrayType(OUT_SPAN_STRUCT), False),
-        StructField("metrics", METRICS_STRUCT, False),
+        StructField("doc_id", StringType(), False),
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("order", IntegerType()),
     ]
+    + [StructField(f, LongType()) for f in METRIC_FIELDS]
 )
+
+OUT_COLUMNS = ("doc_id", "kind", "text", "media_ref", "order")
 
 
 def _coerce_spans(value) -> list:
@@ -93,21 +98,48 @@ def _coerce_spans(value) -> list:
     return out
 
 
-@F.pandas_udf(PARSED_STRUCT)
-def parse_documents_udf(doc_id: pd.Series, spans: pd.Series) -> pd.DataFrame:
-    """Vectorized kernel stage: Series[spans] -> Series[(out_spans, metrics)].
+def parse_documents_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas generator: Arrow batches of (doc_id, spans) ->
+    pre-exploded span rows + one metrics row per document.
 
-    Pure function of one document — embarrassingly parallel; Arrow-batched
-    (SURVEY §2.9).  Tuples (not dicts) for the span structs keep the
-    Arrow conversion cheap.
+    Pure function of each document — embarrassingly parallel (SURVEY §2.9).
+    Output rows per batch are bounded by the Arrow batch size upstream
+    (spark.sql.execution.arrow.maxRecordsPerBatch) times spans-per-doc.
     """
-    out_spans = []
-    out_metrics = []
-    for did, sp in zip(doc_id, spans):
-        rows, metrics = extract_document(did, _coerce_spans(sp))
-        out_spans.append(rows)
-        out_metrics.append({f: metrics[f] for f in METRIC_FIELDS})
-    return pd.DataFrame({"out_spans": out_spans, "metrics": out_metrics})
+    n_metrics = len(METRIC_FIELDS)
+    for pdf in batches:
+        doc_ids: list = []
+        kinds: list = []
+        texts: list = []
+        refs: list = []
+        orders: list = []
+        metric_cols: Tuple[list, ...] = tuple([] for _ in range(n_metrics))
+        for did, sp in zip(pdf["doc_id"], pdf["spans"]):
+            k, t, r, metrics = extract_document_flat(did, _coerce_spans(sp))
+            n = len(k)
+            doc_ids.extend([did] * (n + 1))
+            kinds.extend(k)
+            kinds.append(None)
+            texts.extend(t)
+            texts.append(None)
+            refs.extend(r)
+            refs.append(None)
+            orders.extend(range(n))
+            orders.append(None)
+            for i, f in enumerate(METRIC_FIELDS):
+                col = metric_cols[i]
+                col.extend([None] * n)
+                col.append(metrics[f])
+        out = {
+            "doc_id": doc_ids,
+            "kind": kinds,
+            "text": texts,
+            "media_ref": refs,
+            "order": orders,
+        }
+        for i, f in enumerate(METRIC_FIELDS):
+            out[f] = metric_cols[i]
+        yield pd.DataFrame(out)
 
 
 def table_prefilter() -> Column:
@@ -116,6 +148,9 @@ def table_prefilter() -> Column:
     Runs JVM-side (whole-stage codegen) BEFORE the Python stage, so table-less
     docs never cross the Arrow boundary — the Spark equivalent of the
     reference's early "No tables found" exit (HtmlTableParser.py:118-121).
+
+    NOTE: prefiltered docs produce no metrics row either — the reference
+    counts them the same way (zero tables, nothing analyzed).
     """
     return F.exists(
         "spans",
@@ -124,10 +159,8 @@ def table_prefilter() -> Column:
 
 
 def parse_stage(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans) -> (doc_id, out_spans, metrics) via the kernel UDF."""
-    return docs.select(
-        "doc_id", parse_documents_udf("doc_id", "spans").alias("parsed")
-    ).select("doc_id", "parsed.out_spans", "parsed.metrics")
+    """docs(doc_id, spans) -> wide parsed frame (span rows + metric rows)."""
+    return docs.mapInPandas(parse_documents_gen, schema=PARSED_SCHEMA)
 
 
 def extract_pipeline(
@@ -144,7 +177,7 @@ def extract_pipeline(
     order across the shuffle — O2: order is data).
 
     metrics_df: (doc_id, <counter columns>) — per-document lineage/metrics
-    feed (S8); aggregate with ``plans.metrics.report``.
+    feed (S8); aggregate with metric report queries.
 
     NOTE on reuse: the two returned frames share the parse stage.  Run-once
     jobs should ``parsed.persist()`` or write the parse output to a table and
@@ -154,6 +187,8 @@ def extract_pipeline(
         docs = docs.filter(table_prefilter())
     docs = salted_repartition(docs, num_partitions=num_partitions, salt=salt)
     parsed = parse_stage(docs)
-    out = parsed.select("doc_id", F.inline("out_spans"))
-    metrics = parsed.select("doc_id", "metrics.*")
+    out = parsed.filter(F.col("kind").isNotNull()).select(*OUT_COLUMNS)
+    metrics = parsed.filter(F.col("kind").isNull()).select(
+        "doc_id", *METRIC_FIELDS
+    )
     return out, metrics

@@ -41,7 +41,8 @@ def fixture_corpus_df(spark: SparkSession, copies: int = 1) -> DataFrame:
 
 
 def synthesize_docs_from_testdata(
-    spark: SparkSession, sf_dir: str, limit: Optional[int] = None
+    spark: SparkSession, sf_dir: str, limit: Optional[int] = None,
+    table_rows: int = 6,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -55,11 +56,21 @@ def synthesize_docs_from_testdata(
 
     The construction is pure SQL over (doc_id, text, lang, source) — which is
     exactly what lets the DuckDB oracle recompute the expected extraction
-    output independently (see __spark_entry__.oracle_sql)."""
+    output independently (see __spark_entry__.oracle_sql).
+
+    ``table_rows`` scales per-document weight (default 6 — keep: the DuckDB
+    oracle for ``extract_synthetic`` encodes it).  Values beyond the document's
+    word count wrap around the word list, so benchmarks can synthesize
+    reference-scale pages (dozens of rows per table) deterministically.
+    """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if limit:
         docs = docs.orderBy("doc_id").limit(limit)
-    words = F.slice(F.split(F.col("text"), " "), 1, 6)
+    base_words = F.split(F.col("text"), " ")
+    repeats = table_rows // 10 + 2  # docs have >=10 words at every SF
+    words = F.slice(
+        F.flatten(F.array_repeat(base_words, repeats)), 1, table_rows
+    )
     row_markup = F.concat_ws(
         "",
         F.transform(

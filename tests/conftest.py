@@ -6,18 +6,15 @@ import pytest
 
 
 def make_spark(master: str = "local[4]", shuffle_partitions: int = 8):
-    from pyspark.sql import SparkSession
+    from table_extractor_spark.session import build_session
 
-    return (
-        SparkSession.builder.master(master)
-        .appName("table-extractor-spark-tests")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .getOrCreate()
+    return build_session(
+        master=master,
+        app_name="table-extractor-spark-tests",
+        shuffle_partitions=shuffle_partitions,
+        driver_memory="4g",
+        # small Arrow batches in tests so multi-batch paths are exercised
+        extra={"spark.sql.execution.arrow.maxRecordsPerBatch": "256"},
     )
 
 
