@@ -942,3 +942,93 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return S.lsh_bucketed_neighbors(emb, k=3)
+
+
+# ===========================================================================
+# D. multimodal columns (binary blobs + typed metadata; decode stubbed with a
+#    deterministic fake container, Spark plumbing real — operators/multimodal)
+# ===========================================================================
+
+from ..operators import multimodal as M  # noqa: E402
+
+
+@register(
+    "media_metadata",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'img://' || CAST(doc_id AS VARCHAR) || '/0.jpg' AS media_ref,
+       'IMG1' AS format,
+       CAST(doc_id % 64 + 16 AS INT) AS width,
+       CAST(doc_id % 48 + 9 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       TRUE AS valid
+FROM documents
+""",
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode -> typed metadata via mapInPandas (stubbed codec,
+    real Arrow/binary plumbing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_metadata(M.synthesize_media(docs))
+
+
+_DUCK_HBINS = ", ".join(
+    "CAST(len(list_filter(codes, x -> x = {i})) AS BIGINT) AS h{i}".format(i=i)
+    for i in range(16)
+)
+
+
+@register(
+    "media_byte_histogram",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '.'),
+                                ch -> ascii(ch) % 16) AS codes
+  FROM documents WHERE doc_id < 100
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'img://' || CAST(doc_id AS VARCHAR) || '/0.jpg' AS media_ref,
+       {_DUCK_HBINS}
+FROM c
+""",
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: numpy-vectorized byte
+    histogram per Arrow batch (the batch shape a model forward pass uses)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.byte_histogram_features(M.synthesize_media(docs))
+
+
+@register(
+    "media_resize_plan",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(5 + 2 + 1 + 2 + 1 + octet_length(encode(text)) AS BIGINT)
+         AS content_bytes
+FROM documents WHERE doc_id < 100
+""",
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub: binary-in/binary-out mapInPandas; the oracle checks the
+    rewritten container size ('IMG1:' + '32:' + '24:' + payload)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    resized = M.resize_stub(M.synthesize_media(docs), width=32, height=24)
+    return resized.select(
+        "doc_id", F.octet_length("content").cast("long").alias("content_bytes")
+    )
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST((octet_length(encode(text)) + 3) // 4 AS INT) AS n_frames
+FROM documents WHERE doc_id < 100
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling stub: strided payload read, every 4th byte."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.frame_sample_stub(M.synthesize_media(docs), every=4).select(
+        "doc_id", "n_frames"
+    )
