@@ -149,6 +149,86 @@ def header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_TRIPLES_CTE = """
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE lang <> 'zh'
+), g AS (SELECT i FROM generate_series(1, 6) t(i)),
+base AS (SELECT d.doc_id, d.lang, d.words, g.i FROM d, g),
+triples AS (
+  SELECT doc_id, doc_id AS subject,
+         'dbo:' || lang || 'Profile' AS predicate,
+         doc_id || '__' || CAST(i AS VARCHAR) AS object,
+         'resource' AS object_kind, i * 1000 AS t_order FROM base
+  UNION ALL
+  SELECT doc_id, doc_id || '__' || CAST(i AS VARCHAR), 'dbo:idx',
+         'w' || CAST(i - 1 AS VARCHAR), 'string', i * 1000 + 1 FROM base
+  UNION ALL
+  SELECT doc_id, doc_id || '__' || CAST(i AS VARCHAR),
+         CASE WHEN lang = 'en' THEN 'dbo:word_en' ELSE 'dbo:word' END,
+         words[i], 'string', i * 1000 + 2 FROM base
+)
+"""
+
+
+def _triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extract import extract_pipeline
+    from .triples import emit_triples
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    out, _ = extract_pipeline(docs, num_partitions=32)
+    rules = spark.createDataFrame(
+        [
+            ("SECTION_Profile en", "dbo:enProfile"),
+            ("SECTION_Profile de", "dbo:deProfile"),
+            ("SECTION_Profile es", "dbo:esProfile"),
+            ("SECTION_Profile fr", "dbo:frProfile"),
+            # deliberately NO rule for zh -> the section gate (J2) drops
+            # those tables entirely, like the reference's unmapped sections
+            ("Profile en_Word", "dbo:word_en"),  # strict beats loose for en
+            ("Word", "dbo:word"),  # loose fallback for de/es/fr
+            ("Idx", "dbo:idx"),
+        ],
+        ["key", "property"],
+    )
+    return emit_triples(out, rules)
+
+
+@register(
+    "emit_triples",
+    oracle=_DUCK_TRIPLES_CTE
+    + "SELECT doc_id, subject, predicate, object, object_kind, t_order FROM triples",
+)
+def emit_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Mapper's full output path (J1 strict/loose cascade, J2
+    section gate, J5 positional header join, A9 reification, F10 typing) as
+    DataFrame ops over the extraction output (plans/triples.py)."""
+    return _triples_df(spark, sf_dir)
+
+
+@register(
+    "ttl_lines",
+    oracle=_DUCK_TRIPLES_CTE
+    + """
+SELECT doc_id, t_order,
+       '<http://dbpedia.org/resource/' || subject || '> '
+       || '<http://dbpedia.org/resource/' || predicate || '> '
+       || CASE WHEN object_kind = 'resource'
+               THEN '<http://dbpedia.org/resource/' || object || '>'
+               ELSE '"' || object || '"' END
+       || ' .' AS line
+FROM triples
+""",
+)
+def ttl_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the TTL sink — turtle serialization as a text column
+    (plans/triples.ttl_lines; write with df.write.text)."""
+    from .triples import ttl_lines
+
+    return ttl_lines(_triples_df(spark, sf_dir))
+
+
 # ===========================================================================
 # B. core relational operators over the TPC-H-ish tables
 # ===========================================================================
@@ -568,6 +648,88 @@ def section_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.slice(F.sort_array(F.collect_set("user_id")), 1, 3).alias("examples"),
         )
+    )
+
+
+@register(
+    "section_fuzzy_merge",
+    oracle="""
+WITH sections AS (
+  SELECT DISTINCT p_type AS section FROM part
+  UNION
+  SELECT DISTINCT split_part(p_type, ' ', 1) FROM part
+),
+pairs AS (
+  SELECT s.section, t.section AS candidate
+  FROM sections s JOIN sections t
+    ON s.section LIKE '%' || t.section || '%'
+)
+SELECT section, MIN(candidate ORDER BY length(candidate), candidate) AS group_key
+FROM pairs GROUP BY section
+""",
+)
+def section_fuzzy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the explorer's substring-based section merge ('College' absorbs
+    'College statistics', pyDomainExplorer.py:119-139) — rebuilt
+    order-independently as a self-join on substring containment with a
+    deterministic canonical key (shortest contained section).  The section
+    vocabulary is tiny (it is GROUPed output), so the self-join broadcasts."""
+    part = load_table(spark, sf_dir, "part")
+    sections = (
+        part.select(F.col("p_type").alias("section"))
+        .union(part.select(F.split("p_type", " ")[0].alias("section")))
+        .distinct()
+    )
+    cand = sections.select(F.col("section").alias("candidate"))
+    pairs = sections.join(
+        F.broadcast(cand), F.col("section").contains(F.col("candidate"))
+    )
+    return pairs.groupBy("section").agg(
+        F.expr(
+            "min_by(candidate, struct(length(candidate), candidate))"
+        ).alias("group_key")
+    )
+
+
+@register(
+    "ontology_label_probe",
+    oracle="""
+WITH ontology AS (
+  SELECT DISTINCT lower(n_name) AS label,
+         'dbo:' || replace(lower(n_name), ' ', '_') AS property
+  FROM nation
+)
+SELECT COALESCE(o.property, 'NO_PROPERTY') AS property, COUNT(*) AS n
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN ontology o ON lower(n.n_name) = o.label AND n.n_nationkey % 2 = 0
+GROUP BY 1
+""",
+)
+def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the explorer's DBpedia-ontology label lookup
+    (pyDomainExplorer.py:206-230) as a broadcast left join against an
+    ontology(label -> property) table; misses become the settings-file
+    blanks the user fills in."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ontology = nation.select(
+        F.lower("n_name").alias("label"),
+        F.concat(
+            F.lit("dbo:"), F.replace(F.lower("n_name"), F.lit(" "), F.lit("_"))
+        ).alias("property"),
+    ).distinct()
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(ontology),
+            (F.lower("n_name") == F.col("label"))
+            & (F.col("n_nationkey") % 2 == 0),
+            "left",
+        )
+        .select(F.coalesce("property", F.lit("NO_PROPERTY")).alias("property"))
+        .groupBy("property")
+        .agg(F.count("*").alias("n"))
     )
 
 

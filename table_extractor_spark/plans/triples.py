@@ -1,0 +1,188 @@
+"""RDF triple emission: the reference Mapper's output path as DataFrame ops.
+
+The reference maps each refined table row to triples (Mapper.py:83-113):
+
+* a ROW triple  (resource, sectionProperty, resource__<k>)  where <k> is the
+  per-document reification counter (A9, Mapper.py:97-98);
+* per cell a CELL triple  (resource__<k>, headerProperty, typedValue)
+  with the strict-then-loose rule cascade (J1, Mapper.py:134-191), the
+  SECTION_ gate dropping whole unmapped tables (J2, :147-155), floats typed
+  xsd:float via the py2 float test (F10, :193-214), and '-' cells skipped
+  (P6, :104-106).
+
+Here the same semantics run over the extraction output (out_spans) as pure
+DataFrame transforms — window functions to reconstruct table/row/column
+structure from the ordered span sequence, broadcast joins for the rules:
+
+* table segmentation: running count of 'section' spans (W2-style latch);
+* column index: position within the table's cell sequence modulo the
+  table's header count (J5 positional zip, HtmlTableParser.py:944-951);
+* reification index: row_number over (doc, table, row) (A9);
+* rules: two broadcast LEFT joins + coalesce (strict `<section>_<header>`
+  first, bare `<header>` second), inner broadcast join for the section gate.
+
+Assumes tables whose data cells are plain text spans (kind='cell'); link
+and media spans ride through as URI objects (media linkage per the north
+rule).  At 10^12 docs every join here is a broadcast — the only shuffles
+are the window partitions on doc_id, which reuse the pipeline's salted
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SECTION_PREFIX = "SECTION_"
+
+
+def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
+    """out_spans(doc_id, kind, text, media_ref, order) + rules(key, property)
+    -> triples(doc_id, subject, predicate, object, object_kind, t_order).
+
+    object_kind: 'resource' (row triples), 'uri' (cells with a media_ref),
+    'float' (py-float-castable text, F10), else 'string'.
+    """
+    w_doc = Window.partitionBy("doc_id").orderBy("order")
+
+    # table segmentation: which section-table does each span belong to
+    seg = out_spans.withColumn(
+        "table_idx",
+        F.sum(F.when(F.col("kind") == "section", 1).otherwise(0)).over(w_doc),
+    )
+
+    # per-table header list (ordered) and section text
+    w_tbl = Window.partitionBy("doc_id", "table_idx").orderBy("order")
+    tables = (
+        seg.filter(F.col("kind").isin("section", "header"))
+        .groupBy("doc_id", "table_idx")
+        .agg(
+            F.max(F.when(F.col("kind") == "section", F.col("text"))).alias(
+                "section"
+            ),
+            F.expr(
+                "sort_array(collect_list(CASE WHEN kind = 'header' "
+                "THEN struct(order, text) END))"
+            ).alias("hdrs"),
+        )
+        .select(
+            "doc_id",
+            "table_idx",
+            "section",
+            F.expr("transform(hdrs, h -> h.text)").alias("headers"),
+        )
+    )
+
+    # cells with column index = position mod header count (J5)
+    cells = (
+        seg.filter(F.col("kind") == "cell")
+        .withColumn("cell_seq", F.row_number().over(w_tbl) - 1)
+        .join(tables, ["doc_id", "table_idx"])
+        .withColumn("n_headers", F.greatest(F.size("headers"), F.lit(1)))
+        .withColumn("row_idx", (F.col("cell_seq") / F.col("n_headers")).cast("int"))
+        .withColumn("col_idx", F.col("cell_seq") % F.col("n_headers"))
+        .withColumn(
+            "header", F.element_at("headers", F.col("col_idx").cast("int") + 1)
+        )
+    )
+
+    # reification index: monotone row counter across ALL of a doc's tables (A9)
+    w_rows = Window.partitionBy("doc_id").orderBy("table_idx", "row_idx")
+    rows = (
+        cells.select("doc_id", "table_idx", "row_idx", "section")
+        .distinct()
+        .withColumn("reif", F.row_number().over(w_rows))
+    )
+    cells = cells.join(rows, ["doc_id", "table_idx", "row_idx", "section"])
+
+    # J2: section gate — inner broadcast join drops unmapped tables
+    sect_rules = rules.select(
+        F.col("key").alias("__skey"), F.col("property").alias("section_prop")
+    )
+    cells = cells.join(
+        F.broadcast(sect_rules),
+        F.concat(F.lit(SECTION_PREFIX), F.col("section")) == F.col("__skey"),
+    )
+
+    # J1: strict `<section>_<header>` then loose `<header>` cascade
+    strict = rules.select(
+        F.col("key").alias("__stkey"), F.col("property").alias("strict_prop")
+    )
+    loose = rules.select(
+        F.col("key").alias("__lokey"), F.col("property").alias("loose_prop")
+    )
+    cells = (
+        cells.join(
+            F.broadcast(strict),
+            F.concat_ws("_", "section", "header") == F.col("__stkey"),
+            "left",
+        )
+        .join(F.broadcast(loose), F.col("header") == F.col("__lokey"), "left")
+        .withColumn("prop", F.coalesce("strict_prop", "loose_prop"))
+    )
+
+    subject_row = F.concat_ws("__", "doc_id", F.col("reif").cast("string"))
+
+    # row triples: one per (doc, reified row) (Mapper.py:97-101)
+    row_triples = (
+        cells.select("doc_id", "section_prop", F.col("reif"), subject_row.alias("obj"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("subject"),
+            F.col("section_prop").alias("predicate"),
+            F.col("obj").alias("object"),
+            F.lit("resource").alias("object_kind"),
+            (F.col("reif") * 1000).alias("t_order"),
+        )
+    )
+
+    # cell triples: mapped, non-empty cells; typed (F10 via try_cast — the
+    # kernel already normalized numerics to python-float-compatible text)
+    cell_triples = cells.filter(
+        F.col("prop").isNotNull() & (F.col("text") != "-")
+    ).select(
+        "doc_id",
+        subject_row.alias("subject"),
+        F.col("prop").alias("predicate"),
+        F.when(F.col("media_ref") != "", F.col("media_ref"))
+        .otherwise(F.col("text"))
+        .alias("object"),
+        F.when(F.col("media_ref") != "", F.lit("uri"))
+        .when(
+            F.col("text").try_cast("double").isNotNull(), F.lit("float")
+        )
+        .otherwise(F.lit("string"))
+        .alias("object_kind"),
+        (F.col("reif") * 1000 + F.col("col_idx") + 1).alias("t_order"),
+    )
+
+    return row_triples.unionByName(cell_triples)
+
+
+def ttl_lines(triples: DataFrame, base_uri: str = "http://dbpedia.org/resource/") -> DataFrame:
+    """S5: serialize triples to Turtle text lines (one string column), the
+    DataFrame equivalent of graph.serialize(dest, 'turtle')
+    (Analyzer.py:198-245).  Write with ``df.write.text``."""
+    uri = lambda c: F.concat(F.lit("<"), F.lit(base_uri), c, F.lit(">"))  # noqa: E731
+    obj = (
+        F.when(F.col("object_kind") == "resource", uri(F.col("object")))
+        .when(
+            F.col("object_kind") == "uri",
+            F.concat(F.lit("<"), F.col("object"), F.lit(">")),
+        )
+        .when(
+            F.col("object_kind") == "float",
+            F.concat(
+                F.lit('"'), F.col("object"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#float>'),
+            ),
+        )
+        .otherwise(F.concat(F.lit('"'), F.col("object"), F.lit('"')))
+    )
+    return triples.select(
+        "doc_id",
+        "t_order",
+        F.concat_ws(
+            " ", uri(F.col("subject")), uri(F.col("predicate")), obj, F.lit(".")
+        ).alias("line"),
+    )
