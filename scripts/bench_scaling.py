@@ -71,9 +71,27 @@ for rep in range(reps):
     n_spans = out.count()
     dt = time.monotonic() - t0
     best = dt if best is None or dt < best else best
+
+# order-independent content hash of the final output: MUST be identical
+# across parallelism levels and salts (determinism evidence: same results
+# on an N-core and a 4N-core "cluster")
+out, _ = extract_pipeline(docs, num_partitions=4 * cpus, salt=0)
+content_hash = out.select(
+    F.bit_xor(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "doc_id", "kind", "text", "media_ref",
+                                  F.col("order").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    ).alias("h")
+).collect()[0]["h"]
 print(json.dumps({{"cpus": cpus, "docs": n_docs, "spans": n_spans,
                    "best_sec": round(best, 3),
-                   "docs_per_sec": round(n_docs / best, 2)}}))
+                   "docs_per_sec": round(n_docs / best, 2),
+                   "content_hash": content_hash}}))
 spark.stop()
 """
 
@@ -178,6 +196,10 @@ def main() -> None:
     big = run_level(
         args.n * args.mult, args.copies, args.sf_dir, args.reps, args.table_rows
     )
+    assert small["content_hash"] == big["content_hash"], (
+        "output differs between parallelism levels: "
+        f"{small['content_hash']} != {big['content_hash']}"
+    )
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / args.mult
     ceiling = hardware_ceiling(args.n, args.n * args.mult)
     rel = eff / ceiling["ceiling_efficiency"] if ceiling["ceiling_efficiency"] else None
@@ -189,6 +211,7 @@ def main() -> None:
                 "mult": args.mult,
                 "scaling_efficiency": round(eff, 3),
                 "pass": eff >= 0.8,
+                "deterministic_across_levels": True,
                 "hw_ceiling": ceiling,
                 "efficiency_vs_ceiling": round(rel, 3) if rel else None,
                 "sf_dir": args.sf_dir,

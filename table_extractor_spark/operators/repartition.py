@@ -31,8 +31,16 @@ def salted_repartition(
     salt: int = 0,
     key: str = "doc_id",
 ) -> DataFrame:
-    """Repartition by the salted doc_id hash (explicit, plan-visible)."""
+    """Repartition by the salted doc_id hash (explicit, plan-visible).
+
+    NB: repartition on the FINE-GRAINED ``hash(key, salt)`` — never on
+    ``bucket_expr`` itself.  ``repartition(n, expr)`` re-hashes the
+    expression value, so pre-coarsening to n bucket values would throw n
+    balls into n bins (measured: 640 docs over 8 partitions landed in 5,
+    worst 3x the mean).  ``bucket_expr`` remains the stable doc->bucket map
+    for checkpoint/lineage bookkeeping; the physical partition spread comes
+    from the raw salted hash."""
     if num_partitions is None:
         num_partitions = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         num_partitions = int(num_partitions)
-    return df.repartition(num_partitions, bucket_expr(num_partitions, salt, key))
+    return df.repartition(num_partitions, F.hash(F.col(key), F.lit(salt)))

@@ -235,6 +235,39 @@ def ttl_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "settings_inventory",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         'Profile ' || lang AS section
+  FROM documents
+), sh AS (
+  SELECT section, h.header, doc_id
+  FROM d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
+)
+SELECT section, header, COUNT(*) AS n_tables,
+       (list_sort(list(doc_id)))[1:3] AS examples,
+       CASE WHEN header = 'Word' THEN 'dbo:word' ELSE '' END AS property
+FROM sh GROUP BY section, header
+""",
+)
+def settings_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A5/A6/O4/J4: the full pyDomainExplorer inventory path — sections x
+    headers with <=3 example pages and ontology-prefilled properties
+    (plans/explorer.py); 'Idx' has no ontology label, so its property is the
+    blank the user fills in."""
+    from .explorer import settings_inventory
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    out, _ = extract_pipeline(docs, num_partitions=32)
+    ontology = spark.createDataFrame(
+        [("word", "dbo:word"), ("unused", "dbo:unused")], ["label", "property"]
+    )
+    return settings_inventory(out, ontology)
+
+
+@register(
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,

@@ -66,6 +66,45 @@ def test_metrics_match_golden(spark):
             assert gm[k] == v, f"{doc_id}.{k}: {gm[k]} != {v}"
 
 
+def test_salted_repartition_defuses_skew(spark):
+    """SURVEY §7.3.4: mega-doc skew.  All input clustered in ONE partition
+    (the worst case: a pathological upstream file) must spread ~evenly over
+    the salted buckets, and buckets must move when the salt changes."""
+    from pyspark.sql import functions as F
+
+    from table_extractor_spark.operators.repartition import salted_repartition
+
+    docs = fixture_corpus_df(spark, copies=40).coalesce(1)  # 640 docs, 1 split
+    spread = (
+        salted_repartition(docs, num_partitions=8, salt=0)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in spread]
+    assert len(counts) == 8  # no empty partitions at 640 docs / 8 buckets
+    assert max(counts) / (sum(counts) / len(counts)) < 1.5, counts
+
+    # a different salt re-spreads (retry path for a pathological batch)
+    a = {
+        (r["doc_id"]): r["pid"]
+        for r in salted_repartition(docs, num_partitions=8, salt=0)
+        .withColumn("pid", F.spark_partition_id())
+        .select("doc_id", "pid")
+        .collect()
+    }
+    b = {
+        (r["doc_id"]): r["pid"]
+        for r in salted_repartition(docs, num_partitions=8, salt=1)
+        .withColumn("pid", F.spark_partition_id())
+        .select("doc_id", "pid")
+        .collect()
+    }
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > len(a) / 2, f"salt change moved only {moved}/{len(a)} docs"
+
+
 def test_plan_shape(spark):
     """The physical plan must keep the prefilter JVM-side (below the Python
     stage) and contain exactly one shuffle for the salted repartition."""

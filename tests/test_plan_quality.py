@@ -1,0 +1,78 @@
+"""Physical-plan audits: the plans we ship must be the plans we'd want at
+100 TB — filters pushed to the parquet scan, columns pruned, small joins
+broadcast, JVM-only expressions outside the kernel (no accidental Python)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted(df) -> str:
+    """Full formatted explain (includes PushedFilters / ReadSchema)."""
+    qe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        qe, "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from table_extractor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = formatted(li)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_orderkey,100)" in plan, plan
+    # column pruning: the scan must read ONLY the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_rule_cascade_is_all_broadcast(spark):
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["rule_lookup_cascade"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q1_partial_aggregation(spark):
+    from table_extractor_spark.plans import queries as Q
+
+    df = Q.queries()["q1_pricing_summary"](spark, SF)
+    plan = formatted(df)
+    # map-side combine: a partial HashAggregate below the exchange and a
+    # final one above
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_text_analysis_stays_jvm_side(spark):
+    from table_extractor_spark.plans import queries as Q
+
+    for name in ("quality_score", "token_count", "lang_id", "dedup_exact",
+                 "minhash_signatures", "dedup_simhash"):
+        plan = formatted(Q.queries()[name](spark, SF))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} unexpectedly crosses into Python:\n{plan}"
+        )
+
+
+def test_similarity_broadcasts_queries_not_corpus(spark):
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["embedding_cosine_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_triples_joins_all_broadcast(spark):
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["emit_triples"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
