@@ -117,16 +117,23 @@ def parse_fragment(markup: str) -> Element:
     root = Element("#root")
     stack: List[Element] = [root]
     pos = 0
+    # hot loop: bind globals/attributes to locals; ~150 tags per table and
+    # every document goes through here, so constant factors matter
+    unescape = _htmlmod.unescape
+    implicit = _IMPLICIT_CLOSERS.get
+    void = _VOID_TAGS
     for m in _TAG_RE.finditer(markup):
         start, end = m.span()
         if start > pos:
-            text = _htmlmod.unescape(markup[pos:start])
+            text = markup[pos:start]
+            if "&" in text:  # unescape only when an entity can exist
+                text = unescape(text)
             if text:
-                top = stack[-1]
-                if top.children and isinstance(top.children[-1], str):
-                    top.children[-1] += text  # merge adjacent text nodes
+                kids = stack[-1].children
+                if kids and isinstance(kids[-1], str):
+                    kids[-1] += text  # merge adjacent text nodes
                 else:
-                    top.children.append(text)
+                    kids.append(text)
         pos = end
         closing, tag, rawattrs, selfclose = m.groups()
         tag = tag.lower()
@@ -138,22 +145,24 @@ def parse_fragment(markup: str) -> Element:
                     break
             continue
         # implicit closes (e.g. a <tr> closes a still-open <tr>/<td>/<th>)
-        closers = _IMPLICIT_CLOSERS.get(tag)
+        closers = implicit(tag)
         if closers:
             while len(stack) > 1 and stack[-1].tag in closers:
                 stack.pop()
-        node = Element(tag, _parse_attrs(rawattrs))
+        node = Element(tag, _parse_attrs(rawattrs) if rawattrs.strip() else {})
         stack[-1].children.append(node)
-        if not selfclose and tag not in _VOID_TAGS:
+        if not selfclose and tag not in void:
             stack.append(node)
     if pos < len(markup):
-        tail = _htmlmod.unescape(markup[pos:])
+        tail = markup[pos:]
+        if "&" in tail:
+            tail = unescape(tail)
         if tail:
-            top = stack[-1]
-            if top.children and isinstance(top.children[-1], str):
-                top.children[-1] += tail
+            kids = stack[-1].children
+            if kids and isinstance(kids[-1], str):
+                kids[-1] += tail
             else:
-                top.children.append(tail)
+                kids.append(tail)
     return root
 
 

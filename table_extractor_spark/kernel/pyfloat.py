@@ -21,10 +21,26 @@ from __future__ import annotations
 
 from typing import Any
 
+# fast-reject guard: most cell values are words, and raising/catching
+# ValueError per cell dominates the typing cost.  A stripped ASCII string
+# whose first char cannot start any float literal ('nan'/'inf' included) is
+# guaranteed to raise — reject without the exception.  Non-ASCII strings
+# (unicode digits, exotic whitespace) always take the exact float() path.
+_FLOAT_START = frozenset("0123456789+-.nNiI")
+
+
+def _fast_nonfloat(value: Any) -> bool:
+    if type(value) is not str or not value.isascii():
+        return False
+    t = value.strip()
+    return not t or t[0] not in _FLOAT_START
+
 
 def py2_is_float(value: Any) -> bool:
     """``MapperTools.is_float`` semantics: True iff ``float(value)`` succeeds in py2."""
     if isinstance(value, str) and "_" in value:
+        return False
+    if _fast_nonfloat(value):
         return False
     try:
         float(value)
@@ -36,6 +52,8 @@ def py2_is_float(value: Any) -> bool:
 def py2_is_int(value: Any) -> bool:
     """``MapperTools.is_int`` semantics: True iff ``int(value)`` succeeds in py2."""
     if isinstance(value, str) and "_" in value:
+        return False
+    if _fast_nonfloat(value):  # anything float() rejects, int() rejects too
         return False
     try:
         int(value)
@@ -51,6 +69,8 @@ def parser_is_float(value: Any) -> bool:
     the time it is called the value is always a string, so behavior matches.
     """
     if isinstance(value, str) and "_" in value:
+        return False
+    if _fast_nonfloat(value):
         return False
     try:
         float(value)
