@@ -1139,6 +1139,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_neighbors(emb, k=3)
 
 
+# rows-only: IVF-probed ANN — recall vs exact top-k is asserted in
+# tests/test_similarity_ann.py, not hash-compared (approximate by design)
+@register("ann_ivf_probed", oracle=None)
+def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = S.ivf_index(emb, n_centroids=16)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_search(centroids, assignments, queries_df, k=3, nprobe=4)
+
+
 # ===========================================================================
 # D. multimodal columns (binary blobs + typed metadata; decode stubbed with a
 #    deterministic fake container, Spark plumbing real — operators/multimodal)
