@@ -56,7 +56,7 @@ INPUT_SCHEMA = StructType(
     ]
 )
 
-METRIC_FIELDS = (
+KERNEL_METRIC_FIELDS = (
     "tables_num",
     "tables_analyzed",
     "no_headers",
@@ -68,6 +68,12 @@ METRIC_FIELDS = (
     "triples_row",
     "kernel_errors",
 )
+
+# kernel_us (per-doc kernel wall, microseconds) is measured by the Arrow
+# stage itself — summed per bucket in the lineage table it is the
+# partition-time-spread signal the skew story needs (SURVEY §7.3.4:
+# "measure partition-time spread in the metrics table")
+METRIC_FIELDS = KERNEL_METRIC_FIELDS + ("kernel_us",)
 
 # one wide output: span rows carry (kind..order), the per-doc metrics row
 # carries kind NULL + the counters.  Nullable long columns are ~free in Arrow.
@@ -106,6 +112,8 @@ def parse_documents_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFram
     Output rows per batch are bounded by the Arrow batch size upstream
     (spark.sql.execution.arrow.maxRecordsPerBatch) times spans-per-doc.
     """
+    from time import perf_counter
+
     n_metrics = len(METRIC_FIELDS)
     for pdf in batches:
         doc_ids: list = []
@@ -115,7 +123,9 @@ def parse_documents_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFram
         orders: list = []
         metric_cols: Tuple[list, ...] = tuple([] for _ in range(n_metrics))
         for did, sp in zip(pdf["doc_id"], pdf["spans"]):
+            t0 = perf_counter()
             k, t, r, metrics = extract_document_flat(did, _coerce_spans(sp))
+            metrics["kernel_us"] = int((perf_counter() - t0) * 1e6)
             n = len(k)
             doc_ids.extend([did] * (n + 1))
             kinds.extend(k)

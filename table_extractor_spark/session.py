@@ -24,10 +24,13 @@ def recommended_confs(shuffle_partitions: Optional[int] = None) -> Dict[str, str
         # sf0.1x8.  On a 1000-executor cluster the map x reduce file blowup
         # is worse, which is exactly why large deployments disable bypass.
         "spark.shuffle.sort.bypassMergeThreshold": "1",
-        # one Arrow batch ~= a few thousand documents keeps worker round-trips
-        # amortized without ballooning executor memory (largest fixture doc
-        # ~2 MB of markup; 10k default is fine for typical pages)
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Arrow batching is ROW-count based, not byte based: the default 10k
+        # rows/batch would materialize 10k x doc-size bytes in one Python
+        # worker pdf — a batch of mega-articles (fixture worst case ~2 MB of
+        # markup each) would be 20 GB.  2048 keeps the worst batch ~4 GB while
+        # still amortizing worker round-trips for normal pages; partitions
+        # smaller than this (the common local case) form one batch regardless.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     }
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

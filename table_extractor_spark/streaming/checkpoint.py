@@ -228,6 +228,25 @@ class CheckpointedRun:
         committed = lin.select("bucket").distinct()
         return out.join(F.broadcast(committed), "bucket", "leftsemi").drop("bucket")
 
+    def partition_skew_report(self, spark: SparkSession) -> DataFrame:
+        """Partition-time spread from lineage (SURVEY §7.3.4): per-bucket
+        kernel time lets you SEE a mega-article hot bucket.  Returns one row:
+        (buckets, max_kernel_s, mean_kernel_s, skew_ratio) — ratio near 1.0
+        means the salted spread is flat; a large ratio names the problem."""
+        lin = self.lineage(spark)
+        assert lin is not None, "no lineage yet"
+        per_bucket = lin.filter(F.col("run_id") == self.run_id).select(
+            "bucket", (F.col("kernel_us") / 1e6).alias("kernel_s")
+        )
+        return per_bucket.agg(
+            F.count("*").alias("buckets"),
+            F.round(F.max("kernel_s"), 3).alias("max_kernel_s"),
+            F.round(F.avg("kernel_s"), 3).alias("mean_kernel_s"),
+            F.round(
+                F.max("kernel_s") / F.greatest(F.avg("kernel_s"), F.lit(1e-9)), 2
+            ).alias("skew_ratio"),
+        )
+
     def metrics_report(self, spark: SparkSession) -> DataFrame:
         """The reference's final report (S8/A1/A2) over committed lineage."""
         lin = self.lineage(spark)

@@ -76,6 +76,12 @@ def test_lineage_covers_every_bucket_and_report(spark, run):
     assert report["docs"] == docs.count()
     assert report["spans"] == run.read_output(spark).count()
     assert report["tables_num"] >= report["tables_analyzed"] > 0
+    assert report["kernel_us"] > 0  # per-doc timing flowed into lineage
+
+    skew = run.partition_skew_report(spark).collect()[0]
+    assert skew["buckets"] == run.num_buckets
+    assert skew["max_kernel_s"] >= skew["mean_kernel_s"] >= 0
+    assert skew["skew_ratio"] >= 1.0
 
 
 def test_uncommitted_bucket_invisible_to_readers(spark, run, tmp_path):
