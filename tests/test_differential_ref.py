@@ -173,6 +173,70 @@ def test_fixture_tables_match_reference(name, table):
         assert mine[key] == ref[key], f"{name}: {key}\nmine={mine[key]}\nref ={ref[key]}"
 
 
+try:
+    from hypothesis import assume, given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+    _cell_text = st.text(
+        alphabet=st.sampled_from(list("ab 1.5-Totale\xa0[]'é\n")), max_size=10
+    )
+    _attr = st.sampled_from(
+        ["", ' rowspan="2"', ' colspan="2"', ' rowspan="3" colspan="2"']
+    )
+
+    @st.composite
+    def _random_table(draw):
+        n_rows = draw(st.integers(1, 5))
+        n_cols = draw(st.integers(1, 4))
+        n_header_rows = draw(st.integers(0, 2))
+        rows = []
+        for r in range(n_rows):
+            cells = []
+            for _c in range(n_cols):
+                tag = (
+                    "th"
+                    if r < n_header_rows
+                    else draw(st.sampled_from(["td", "td", "td", "th"]))
+                )
+                cells.append(
+                    f"<{tag}{draw(_attr)}>{draw(_cell_text)}</{tag}>"
+                )
+            rows.append("<tr>" + "".join(cells) + "</tr>")
+        return '<table class="wikitable">' + "".join(rows) + "</table>"
+
+    @given(_random_table())
+    @settings(max_examples=40, deadline=None)
+    def test_random_tables_match_reference(markup):
+        """Property-based differential: ANY generated table on which the
+        reference parser completes must produce identical refined headers,
+        refined data, and summary filtering from my kernel."""
+        tables = tables_from_markup(markup)
+        assume(tables)
+        table_json = dom_to_json(tables[0])
+        proc = subprocess.run(
+            [PY2, HARNESS],
+            input=json.dumps({"table": table_json, "section": "Sec"}).encode(),
+            capture_output=True,
+            timeout=60,
+        )
+        # the reference crashes on some shapes (its real behavior); our
+        # kernel records-and-continues instead — only compare where the
+        # reference itself completes
+        assume(proc.returncode == 0)
+        ref = json.loads(proc.stdout.decode())
+        mine = run_mine(tables[0])
+        for key in ("vertical", "headers_refined", "headers_not_resolved",
+                    "data_refined", "to_map_delta"):
+            assert mine[key] == ref[key], (
+                f"{key}\nmarkup={markup!r}\nmine={mine[key]}\nref ={ref[key]}"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(EXTRA_MARKUP))
 def test_adversarial_tables_match_reference(name):
     tables = tables_from_markup(EXTRA_MARKUP[name])
