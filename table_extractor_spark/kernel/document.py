@@ -128,24 +128,51 @@ def extract_document(doc_id: str, spans: List[dict]) -> Tuple[List[tuple], dict]
 def extract_document_flat(
     doc_id: str, spans: List[dict]
 ) -> Tuple[List[str], List[str], List[str], dict]:
-    """Columnar form of ``extract_document``: returns ``(kinds, texts,
-    media_refs, metrics_dict)`` as parallel flat lists; the order column is
-    implicitly ``range(len(kinds))`` (output order is contiguous from 0 by
-    construction).  This is what the Arrow stage consumes — flat string
-    columns convert to Arrow ~3x faster than a list of per-span tuples
-    nested as array<struct>."""
+    """Dict-span form of ``extract_document_cols`` (tests / ad-hoc use)."""
+    return extract_document_cols(
+        doc_id,
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s.get("media_ref") for s in spans],
+        [s["offset"] for s in spans],
+    )
+
+
+def extract_document_cols(
+    doc_id: str,
+    in_kinds,
+    in_texts,
+    in_refs,
+    in_offsets,
+) -> Tuple[List[str], List[str], List[str], dict]:
+    """Columnar extraction core: parallel input sequences in, parallel flat
+    output lists ``(kinds, texts, media_refs, metrics_dict)`` out; the order
+    column is implicitly ``range(len(kinds))`` (contiguous from 0 by
+    construction).
+
+    This signature exists for the Arrow boundary: the JVM extracts the four
+    primitive arrays from the span structs (free), so the Python side never
+    materializes a dict per span — measured ~16% end-to-end at sf0.1x8 on
+    top of the flat-output win.  None offsets sort as 0."""
     metrics = Metrics()
-    spans = sorted(spans, key=lambda s: s["offset"])
+    n = len(in_kinds)
+    order_idx = sorted(
+        range(n), key=lambda i: in_offsets[i] if in_offsets[i] is not None else 0
+    )
     headings: List[Tuple[int, str]] = [
-        (s["offset"], s["text"] or "") for s in spans if s["kind"] == "heading"
+        (in_offsets[i] or 0, in_texts[i] or "")
+        for i in order_idx
+        if in_kinds[i] == "heading"
     ]
 
     # locate candidate tables: (class_rank, span_offset, start_in_span, markup)
     candidates = []
-    for s in spans:
-        if s["kind"] != "text" or not s["text"] or "<table" not in s["text"].lower():
+    for i in order_idx:
+        s_text = in_texts[i]
+        if in_kinds[i] != "text" or not s_text or "<table" not in s_text.lower():
             continue
-        for start, markup in _find_table_regions(s["text"]):
+        s = {"offset": in_offsets[i] or 0, "text": s_text}
+        for start, markup in _find_table_regions(s_text):
             try:
                 root = parse_fragment(markup)
             except Exception:

@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.document import extract_document_flat
+from ..kernel.document import extract_document_cols
 from ..operators.repartition import salted_repartition
 
 # ---- schemas (FIXTURES.md §1 input / §2 output) ---------------------------
@@ -91,30 +91,21 @@ PARSED_SCHEMA = StructType(
 OUT_COLUMNS = ("doc_id", "kind", "text", "media_ref", "order")
 
 
-def _coerce_spans(value) -> list:
-    """Arrow hands array<struct> to pandas as a sequence of dicts (or Rows)."""
-    if value is None:
-        return []
-    out = []
-    for item in value:
-        if isinstance(item, dict):
-            out.append(item)
-        else:  # pyspark Row or similar mapping
-            out.append(item.asDict())
-    return out
-
-
 def parse_documents_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas generator: Arrow batches of (doc_id, spans) ->
+    """mapInPandas generator: Arrow batches of the four span-field arrays ->
     pre-exploded span rows + one metrics row per document.
 
     Pure function of each document — embarrassingly parallel (SURVEY §2.9).
-    Output rows per batch are bounded by the Arrow batch size upstream
-    (spark.sql.execution.arrow.maxRecordsPerBatch) times spans-per-doc.
+    Input columns are the PRIMITIVE arrays (doc_id, __k, __t, __r, __o) that
+    ``parse_stage`` extracts JVM-side from the span structs — Arrow converts
+    list<string> far cheaper than list<struct>, and no Python dict is ever
+    built per span.  Output rows per batch are bounded by the Arrow batch
+    size upstream times spans-per-doc.
     """
     from time import perf_counter
 
     n_metrics = len(METRIC_FIELDS)
+    empty: tuple = ()
     for pdf in batches:
         doc_ids: list = []
         kinds: list = []
@@ -122,9 +113,13 @@ def parse_documents_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFram
         refs: list = []
         orders: list = []
         metric_cols: Tuple[list, ...] = tuple([] for _ in range(n_metrics))
-        for did, sp in zip(pdf["doc_id"], pdf["spans"]):
+        for did, ks, ts, rs, os_ in zip(
+            pdf["doc_id"], pdf["__k"], pdf["__t"], pdf["__r"], pdf["__o"]
+        ):
             t0 = perf_counter()
-            k, t, r, metrics = extract_document_flat(did, _coerce_spans(sp))
+            if ks is None:
+                ks = ts = rs = os_ = empty
+            k, t, r, metrics = extract_document_cols(did, ks, ts, rs, os_)
             metrics["kernel_us"] = int((perf_counter() - t0) * 1e6)
             n = len(k)
             doc_ids.extend([did] * (n + 1))
@@ -169,8 +164,19 @@ def table_prefilter() -> Column:
 
 
 def parse_stage(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans) -> wide parsed frame (span rows + metric rows)."""
-    return docs.mapInPandas(parse_documents_gen, schema=PARSED_SCHEMA)
+    """docs(doc_id, spans) -> wide parsed frame (span rows + metric rows).
+
+    The struct fields are pulled into four primitive array columns JVM-side
+    (a free projection) so the Arrow crossing ships list<primitive> — see
+    ``parse_documents_gen``."""
+    cols = docs.select(
+        "doc_id",
+        F.col("spans.kind").alias("__k"),
+        F.col("spans.text").alias("__t"),
+        F.col("spans.media_ref").alias("__r"),
+        F.col("spans.offset").alias("__o"),
+    )
+    return cols.mapInPandas(parse_documents_gen, schema=PARSED_SCHEMA)
 
 
 def extract_pipeline(
