@@ -188,6 +188,16 @@ if HAVE_HYPOTHESIS:
     _attr = st.sampled_from(
         ["", ' rowspan="2"', ' colspan="2"', ' rowspan="3" colspan="2"']
     )
+    # anchor flavors: blue link (title attr), red link (class=new), image
+    _anchor = st.sampled_from(
+        [
+            "",
+            '<a href="/wiki/A_B" title="A B">A B</a>',
+            '<a class="new">missing page</a>',
+            '<a href="/wiki/File:x.jpg" class="image">'
+            '<img src="//up/x.jpg" alt="cap"/></a>',
+        ]
+    )
 
     @st.composite
     def _random_table(draw):
@@ -203,8 +213,9 @@ if HAVE_HYPOTHESIS:
                     if r < n_header_rows
                     else draw(st.sampled_from(["td", "td", "td", "th"]))
                 )
+                anchor = "" if tag == "th" else draw(_anchor)
                 cells.append(
-                    f"<{tag}{draw(_attr)}>{draw(_cell_text)}</{tag}>"
+                    f"<{tag}{draw(_attr)}>{anchor}{draw(_cell_text)}</{tag}>"
                 )
             rows.append("<tr>" + "".join(cells) + "</tr>")
         return '<table class="wikitable">' + "".join(rows) + "</table>"
