@@ -98,3 +98,19 @@ def lang_id(text_col, en_stopwords=DEFAULT_STOPWORDS, threshold: float = 0.05) -
     return F.when(stopword_ratio(text_col, en_stopwords) > threshold, "en").otherwise(
         "und"
     )
+
+
+def with_lang_id(
+    df, text_col: str = "text", out_col: str = "lang_guess",
+    en_stopwords=DEFAULT_STOPWORDS, threshold: float = 0.05,
+):
+    """``lang_id`` with the lowered word array staged once per row (the
+    single-expression form splits the text twice — hit count and size)."""
+    staged = df.withColumn("__lw", words(F.lower(F.col(text_col))))
+    ratio = (
+        F.size(F.filter(F.col("__lw"), lambda w: w.isin(*en_stopwords))).cast("double")
+        / F.size(F.col("__lw")).cast("double")
+    )
+    return staged.withColumn(
+        out_col, F.when(ratio > threshold, "en").otherwise("und")
+    ).drop("__lw")

@@ -1078,10 +1078,8 @@ FROM documents
 )
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.lang_id(F.col("text")).alias("lang_guess"),
-        F.col("lang").alias("lang_label"),
+    return T.with_lang_id(docs).select(
+        "doc_id", "lang_guess", F.col("lang").alias("lang_label")
     )
 
 
