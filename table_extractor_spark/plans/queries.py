@@ -767,6 +767,60 @@ def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS INT) AS session_no,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM sessions GROUP BY user_id, session_no
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (training-pipeline staple): lag + cumulative
+    sum of session-break flags, then per-session aggregates.  Timestamps are
+    compared as epoch microseconds (UTC session, see session.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    # parquet stores timestamp_ntz; with the UTC session (session.py) the
+    # ntz -> instant cast is deterministic and unix_micros applies
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = ev.withColumn("__us", us)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("__us").over(w).isNull()
+            | (F.col("__us") - F.lag("__us").over(w) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = gaps.withColumn(
+        "session_no", F.sum("new_session").over(wrun).cast("int")
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("__us").alias("session_start_us"),
+        F.max("__us").alias("session_end_us"),
+    )
+
+
+@register(
     "order_preservation",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem

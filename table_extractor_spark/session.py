@@ -14,6 +14,9 @@ def recommended_confs(shuffle_partitions: Optional[int] = None) -> Dict[str, str
     confs = {
         # AQE: runtime coalescing + skew-split for the post-kernel stages
         "spark.sql.adaptive.enabled": "true",
+        # deterministic timestamp semantics for cross-engine oracles
+        # (DuckDB timestamps are UTC-naive; Spark's are session-TZ)
+        "spark.sql.session.timeZone": "UTC",
         # Arrow batches for the kernel stage (mapInPandas)
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # ALWAYS use the sort-based shuffle writer.  The default bypass-merge
