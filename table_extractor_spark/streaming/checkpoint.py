@@ -36,7 +36,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.repartition import bucket_expr
-from ..plans.extract import METRIC_FIELDS, extract_pipeline
+from ..plans.extract import METRIC_FIELDS
 
 LINEAGE_COLS = (
     "run_id", "bucket", "n_docs", "n_spans", "wall_sec", "committed_at",
@@ -99,21 +99,30 @@ class CheckpointedRun:
     ) -> None:
         """One wave: extract the wave's buckets, overwrite their output
         partitions, then append lineage rows (commit point)."""
+        from ..operators.repartition import salted_repartition
+        from ..plans.extract import OUT_COLUMNS, parse_stage
+
         t0 = time.monotonic()
         bexpr = bucket_expr(self.num_buckets, self.salt)
         wave_docs = docs.withColumn("bucket", bexpr).filter(
             F.col("bucket").isin(*[int(b) for b in wave])
         )
-        out, metrics = extract_pipeline(
+        # the span writes and the metrics writes are two separate jobs, so
+        # persist the SHARED parse output before branching — otherwise the
+        # kernel runs twice per wave (write-then-branch, SURVEY §7.3.5)
+        spread = salted_repartition(
             wave_docs.select("doc_id", "spans"),
             num_partitions=len(wave),
             salt=self.salt,
-            prefilter=False,  # bucket filter already planned; keep metrics for ALL docs
         )
-        # re-derive the bucket on the outputs (deterministic function of doc_id)
-        out = out.withColumn("bucket", bucket_expr(self.num_buckets, self.salt))
-        metrics = metrics.withColumn(
+        parsed = parse_stage(spread).withColumn(
             "bucket", bucket_expr(self.num_buckets, self.salt)
+        ).persist()
+        out = parsed.filter(F.col("kind").isNotNull()).select(
+            *OUT_COLUMNS, "bucket"
+        )
+        metrics = parsed.filter(F.col("kind").isNull()).select(
+            "doc_id", *METRIC_FIELDS, "bucket"
         )
 
         with_dynamic_overwrite = spark.conf.get(
@@ -129,6 +138,7 @@ class CheckpointedRun:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", with_dynamic_overwrite
             )
+            parsed.unpersist()
 
         # lineage = the commit record, written only after data is durable.
         # One row per bucket IN THE WAVE — including empty buckets (a bucket
