@@ -767,6 +767,45 @@ def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_latest_error",
+    oracle="""
+WITH lhs AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+), rhs AS (
+  SELECT user_id, ts, MAX(event_id) AS err_event
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       r.err_event AS right_err_event
+FROM lhs l ASOF LEFT JOIN rhs r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_join_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof): each non-error event picks up the latest
+    at-or-before error event of the same user — union + ordered fill-down,
+    one shuffle, no Python; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    lhs = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "ts"
+    )
+    rhs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event"))
+    )
+    joined = asof_join(lhs, rhs, on="ts", by="user_id", value_cols=["err_event"])
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "right_err_event",
+    )
+
+
+@register(
     "sessionization",
     oracle="""
 WITH gaps AS (

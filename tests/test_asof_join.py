@@ -1,0 +1,39 @@
+"""As-of join semantics: inclusive backward match, per-group, NULL before."""
+
+from __future__ import annotations
+
+from table_extractor_spark.operators.asof import asof_join
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", 5, "a"),   # before any right -> NULL
+            ("u1", 10, "b"),  # equal ts -> inclusive match r10
+            ("u1", 17, "c"),  # between r10 and r20 -> r10
+            ("u1", 25, "d"),  # after r20 -> r20
+            ("u2", 30, "e"),  # other group: only r7 before -> r7
+        ],
+        "user string, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 20, 200), ("u2", 7, 700), ("u3", 1, 999)],
+        "user string, t long, rv long",
+    )
+    got = {
+        r["name"]: r["right_rv"]
+        for r in asof_join(
+            left, right, on="t", by="user", value_cols=["rv"]
+        ).collect()
+    }
+    assert got == {"a": None, "b": 100, "c": 100, "d": 200, "e": 700}
+
+
+def test_asof_forward_unimplemented(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        asof_join(
+            spark.range(1), spark.range(1), on="id", by="id",
+            value_cols=[], direction="forward",
+        )
