@@ -767,6 +767,42 @@ def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_value_bands",
+    oracle="""
+WITH bands AS (
+  SELECT n_nationkey AS band_id,
+         CAST(n_nationkey * 40 AS DOUBLE) AS lo,
+         CAST(n_nationkey * 40 + 60 AS DOUBLE) AS hi
+  FROM nation
+)
+SELECT b.band_id, COUNT(*) AS n_events,
+       SUM(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin): events matched into overlapping
+    value bands via domain bucketization — equi hash join on the bucket plus
+    an exact refine, instead of a nested-loop theta join."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 40).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 40 + 60).cast("double").alias("hi"),
+    )
+    joined = bucketed_range_join(
+        ev, bands, point="value", lo="lo", hi="hi", bucket_width=50.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+@register(
     "asof_join_latest_error",
     oracle="""
 WITH lhs AS (
