@@ -767,6 +767,64 @@ def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_event_types",
+    oracle="""
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END)
+         AS click_value,
+       SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END)
+         AS view_value,
+       SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END)
+         AS error_value
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): explicit pivot values keep the plan a single
+    groupBy with conditional aggregates — never let pivot() scan for distinct
+    keys at scale (that is an extra job over the full input)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.sum(dec))
+    )
+    return piv.select(
+        "user_id",
+        F.col("click").alias("click_value"),
+        F.col("view").alias("view_value"),
+        F.col("error").alias("error_value"),
+    )
+
+
+@register(
+    "top_k_per_group",
+    oracle="""
+SELECT user_id, event_id, CAST(rk AS INT) AS rk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(value AS DECIMAL(18,2)) DESC,
+                                     event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: row_number over a per-group ordering + filter — the
+    canonical pattern; deterministic tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").cast("decimal(18,2)").desc(), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+@register(
     "range_join_value_bands",
     oracle="""
 WITH bands AS (

@@ -29,6 +29,38 @@ def test_asof_semantics(spark):
     assert got == {"a": None, "b": 100, "c": 100, "d": 200, "e": 700}
 
 
+def test_asof_matches_exact_semantics_random(spark):
+    """Randomized check vs an exact reimplementation (greatest right ts <=
+    left ts per group), seeded and deterministic."""
+    import random
+
+    rng = random.Random(42)
+    groups = ["g0", "g1", "g2"]
+    left_rows = [
+        (rng.choice(groups), rng.randint(0, 50), i) for i in range(60)
+    ]
+    right_rows = {}
+    for _ in range(25):
+        key = (rng.choice(groups), rng.randint(0, 50))
+        right_rows[key] = rng.randint(100, 999)  # unique per (group, ts)
+    left = spark.createDataFrame(left_rows, "g string, t long, lid long")
+    right = spark.createDataFrame(
+        [(g, t, v) for (g, t), v in right_rows.items()],
+        "g string, t long, rv long",
+    )
+
+    got = {
+        r["lid"]: r["right_rv"]
+        for r in asof_join(left, right, on="t", by="g", value_cols=["rv"]).collect()
+    }
+    for g, t, lid in left_rows:
+        candidates = [
+            (rt, v) for (rg, rt), v in right_rows.items() if rg == g and rt <= t
+        ]
+        expected = max(candidates)[1] if candidates else None
+        assert got[lid] == expected, (g, t, lid)
+
+
 def test_asof_forward_unimplemented(spark):
     import pytest
 
