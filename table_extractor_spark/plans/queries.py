@@ -127,7 +127,9 @@ def extract_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "header_inventory",
     oracle="""
 SELECT h.header, COUNT(*) AS n_tables,
-       (list_sort(list('doc_' || CAST(d.doc_id AS VARCHAR))))[1:3] AS examples
+       array_to_string(
+         (list_sort(list('doc_' || CAST(d.doc_id AS VARCHAR))))[1:3],
+         ',') AS examples
 FROM documents d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
 GROUP BY h.header
 """,
@@ -144,7 +146,11 @@ def header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("text").alias("header"))
         .agg(
             F.count("*").alias("n_tables"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 3).alias("examples"),
+            # serialized (not array-typed) so the driver canonicalizer can
+            # hash it — arrays are unhashable in its pandas path
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 3), ","
+            ).alias("examples"),
         )
     )
 
@@ -246,7 +252,7 @@ WITH d AS (
   FROM d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
 )
 SELECT section, header, COUNT(*) AS n_tables,
-       (list_sort(list(doc_id)))[1:3] AS examples,
+       array_to_string((list_sort(list(doc_id)))[1:3], ',') AS examples,
        CASE WHEN header = 'Word' THEN 'dbo:word' ELSE '' END AS property
 FROM sh GROUP BY section, header
 """,
@@ -264,17 +270,23 @@ def settings_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ontology = spark.createDataFrame(
         [("word", "dbo:word"), ("unused", "dbo:unused")], ["label", "property"]
     )
-    return settings_inventory(out, ontology)
+    # serialize the examples array so the driver canonicalizer can hash it
+    return settings_inventory(out, ontology).withColumn(
+        "examples", F.array_join("examples", ",")
+    )
 
 
 @register(
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(18,2))) AS sum_disc_value,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_disc_value,
        COUNT(*) AS count_order,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              / COUNT(*), 6) AS avg_qty
@@ -292,9 +304,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * dec("l_discount")).alias("sum_disc_value"),
+            # sums accumulate DECIMAL-exact; the returned columns are rounded
+            # doubles so Spark and DuckDB stringify identically for the hash
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
+            ).alias("sum_disc_value"),
             F.count("*").alias("count_order"),
             F.round(
                 F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
@@ -596,9 +614,10 @@ def header_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_column_sums",
     oracle="""
 SELECT event_id, user_id,
-       SUM(CAST(value AS DECIMAL(18,2)))
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_sum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS DOUBLE), 2) AS prior_sum
 FROM events
 """,
 )
@@ -614,7 +633,12 @@ def running_column_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("prior_sum"),
+        # the sum itself stays DECIMAL-exact; only the *returned* column is
+        # rendered as rounded double so both engines stringify identically
+        # ('136991.00' vs '136991.0' was the only r01 mismatch here)
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("prior_sum"),
     )
 
 
@@ -667,7 +691,7 @@ def distinct_header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     "section_grouping",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       (list_sort(list(DISTINCT user_id)))[1:3] AS examples
+       array_to_string((list_sort(list(DISTINCT user_id)))[1:3], ',') AS examples
 FROM events GROUP BY event_type
 """,
 )
@@ -679,7 +703,9 @@ def section_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.slice(F.sort_array(F.collect_set("user_id")), 1, 3).alias("examples"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("user_id")), 1, 3), ","
+            ).alias("examples"),
         )
     )
 
@@ -770,11 +796,14 @@ def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_types",
     oracle="""
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END)
+       ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
          AS click_value,
-       SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END)
+       ROUND(CAST(SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
          AS view_value,
-       SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END)
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
          AS error_value
 FROM events GROUP BY user_id
 """,
@@ -792,9 +821,9 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return piv.select(
         "user_id",
-        F.col("click").alias("click_value"),
-        F.col("view").alias("view_value"),
-        F.col("error").alias("error_value"),
+        F.round(F.col("click").cast("double"), 2).alias("click_value"),
+        F.round(F.col("view").cast("double"), 2).alias("view_value"),
+        F.round(F.col("error").cast("double"), 2).alias("error_value"),
     )
 
 
@@ -834,7 +863,8 @@ WITH bands AS (
   FROM nation
 )
 SELECT b.band_id, COUNT(*) AS n_events,
-       SUM(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
 FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.band_id
 """,
@@ -856,7 +886,9 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
     )
 
 
@@ -1107,10 +1139,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_signatures",
-    oracle=_DUCK_SIGS_CTE + "SELECT doc_id, sig FROM sigs",
+    oracle=_DUCK_SIGS_CTE + """
+SELECT doc_id,
+       array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',')
+         AS sig
+FROM sigs
+""",
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    # serialized so the driver canonicalizer can hash it (arrays are
+    # unhashable in its pandas path); the raw array form stays pytest-pinned
+    return sigs.withColumn("sig", F.array_join(F.col("sig").cast("array<string>"), ","))
 
 
 @register(
@@ -1184,13 +1224,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 h AS (SELECT doc_id, {_DUCK_SHINGLES} AS hs FROM w)
-SELECT doc_id, (list_sort(hs))[1:4] AS fingerprint FROM h
+SELECT doc_id,
+       array_to_string(list_transform((list_sort(hs))[1:4],
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS fingerprint
+FROM h
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", D.bottomk_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id",
+        F.array_join(
+            D.bottomk_fingerprint(F.col("text")).cast("array<string>"), ","
+        ).alias("fingerprint"),
     )
 
 
