@@ -167,10 +167,12 @@ def find_headers(table: Element, tab: TableParse, metrics: Metrics) -> None:
             if header_row:
                 tab.headers.append(header_row)  # type: ignore[attr-defined]
     except Exception:
-        pass  # partial headers survive, like the reference's bare except
+        # partial headers survive, like the reference's bare except — but the
+        # swallow is COUNTED so a real parse bug shows in the metrics table
+        metrics.kernel_errors += 1
 
 
-def expand_colspan(rows: list) -> None:
+def expand_colspan(rows: list, metrics: "Metrics | None" = None) -> None:
     """Replicate cells with colspan > 1 **as the same object** (reference :802-850).
 
     Works on header rows (cells are dicts; iterating a dict yields key strings,
@@ -206,10 +208,11 @@ def expand_colspan(rows: list) -> None:
                         for _ in range(colspan - 1):
                             row.insert(cell_index, cell)   # same object: aliasing
     except (TypeError, ValueError):
-        pass
+        if metrics is not None:
+            metrics.kernel_errors += 1
 
 
-def resolve_rowspan(rows: list) -> None:
+def resolve_rowspan(rows: list, metrics: "Metrics | None" = None) -> None:
     """Fill a rowspan-n header down n-1 rows with *blank-text* copies (:439-472).
 
     The copy keeps the decremented rowspan, so it cascades row by row.  Any
@@ -227,7 +230,8 @@ def resolve_rowspan(rows: list) -> None:
                     cell_copy["th"] = ""
                     rows[row_index + 1].insert(cell_index, cell_copy)
     except Exception:
-        pass
+        if metrics is not None:
+            metrics.kernel_errors += 1
 
 
 def _remove_nbsp(headers: list) -> None:
@@ -243,7 +247,7 @@ def _remove_citations(headers: list) -> None:
             header["th"] = _CITATION_RE.sub("", header["th"])
 
 
-def associate_super_and_sub_headers(tab: TableParse) -> None:
+def associate_super_and_sub_headers(tab: TableParse, metrics: "Metrics | None" = None) -> None:
     """Flatten multi-row headers into ``"Sup - Sub"`` cells (reference :520-587).
 
     Consumes the first two header rows repeatedly; each super cell (colspan c
@@ -278,7 +282,8 @@ def associate_super_and_sub_headers(tab: TableParse) -> None:
         for element in headers_copy[0]:
             tab.headers_refined.append(element)
     except Exception:
-        pass
+        if metrics is not None:
+            metrics.kernel_errors += 1
 
 
 def encode_headers(tab: TableParse) -> None:
@@ -291,12 +296,12 @@ def encode_headers(tab: TableParse) -> None:
 
 def refine_headers(tab: TableParse, metrics: Metrics) -> None:
     """Reference ``refine_headers`` (:377-421) stage order, preserved."""
-    expand_colspan(tab.headers)          # type: ignore[attr-defined]
-    resolve_rowspan(tab.headers)         # type: ignore[attr-defined]
+    expand_colspan(tab.headers, metrics)  # type: ignore[attr-defined]
+    resolve_rowspan(tab.headers, metrics)  # type: ignore[attr-defined]
     _remove_nbsp(tab.headers)            # type: ignore[attr-defined]
     _remove_citations(tab.headers)       # type: ignore[attr-defined]
     if not tab.vertical:
-        associate_super_and_sub_headers(tab)
+        associate_super_and_sub_headers(tab, metrics)
     else:
         # vertical tables skip flattening (:413-419): first cell of each row
         for row in tab.headers:          # type: ignore[attr-defined]
@@ -461,17 +466,20 @@ def join_data_and_headers(tab: TableParse) -> None:
             tab.data_refined.append(temp_row)  # same object; not reset (quirk)
 
 
-def refine_data(tab: TableParse) -> None:
-    """Reference ``refine_data`` (:757-781): any exception aborts silently,
-    leaving ``data_refined`` as-is (usually empty -> E3)."""
+def refine_data(tab: TableParse, metrics: "Metrics | None" = None) -> None:
+    """Reference ``refine_data`` (:757-781): any exception aborts, leaving
+    ``data_refined`` as-is (usually empty -> E3) — same swallow as the
+    reference, but COUNTED into ``kernel_errors`` so a real parse bug is
+    visible in the metrics table instead of vanishing at 10^12-doc scale."""
     try:
         delete_useless_rows(tab, "Totale")
-        expand_colspan(tab.data)           # type: ignore[attr-defined]
+        expand_colspan(tab.data, metrics)  # type: ignore[attr-defined]
         resolve_data_type(tab)
         join_data_and_headers(tab)
         # encode_data (:602-615) is a no-op in the reference (rebinds loop var)
     except Exception:
-        pass
+        if metrics is not None:
+            metrics.kernel_errors += 1
 
 
 # --------------------------------------------------------------------------
@@ -597,7 +605,7 @@ def parse_table(table: Element, metrics: Metrics) -> TableParse:
         return tab
     refine_headers(tab, metrics)
     extract_data(table, tab)
-    refine_data(tab)
+    refine_data(tab, metrics)
     if not tab.data_refined:
         tab.error = "E3"
         metrics.no_data += 1

@@ -14,7 +14,7 @@ At 100 TB the only all-pairs work ever materialized is within LSH buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MINHASH_P = 2147483647  # 2^31 - 1; h < 2^31 keeps a*h+b within int64
 DEFAULT_PERMS = 16
@@ -138,12 +138,31 @@ def lsh_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any (band, bucket).
 
     Self-join co-partitioned on (band, bucket): Catalyst plans one shuffle per
     side on the join key; bucket sizes are near-duplicate cluster sizes, so
-    the join never approaches a cross product."""
+    the join normally never approaches a cross product.
+
+    ``max_bucket_size`` guards the degenerate case (boilerplate-heavy corpora
+    put millions of docs in one bucket, and a b-doc bucket emits b^2 pairs):
+    buckets larger than the cap are EXCLUDED from pair generation.  The cap is
+    never silent — read ``lsh_oversized_buckets(buckets, cap)`` for exactly
+    what was dropped and surface it as a run metric (typically
+    ``.count()``-ed into the job log or written next to the output).  The
+    size count rides the same (band, bucket) hash partitioning the self-join
+    needs, so the guard adds no extra shuffle of the big side."""
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsize", F.count("*").over(w))
+            .filter(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
     left = buckets.select("band", "bucket", F.col(id_col).alias("a"))
     right = buckets.select("band", "bucket", F.col(id_col).alias("b"))
     return (
@@ -151,6 +170,19 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    buckets: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """(band, bucket, size) for every bucket a capped ``lsh_candidate_pairs``
+    would drop — the no-silent-caps companion: count or persist this whenever
+    the cap is enabled so dropped coverage is visible in run metrics."""
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket_size)
     )
 
 

@@ -1047,23 +1047,46 @@ def scalar_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "float_typing",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_typed,
-       TRY_CAST(l_returnflag AS DOUBLE) AS flag_typed
-FROM lineitem WHERE l_orderkey < 100
-""",
+def _py2_float_oracle_sql() -> str:
+    from ..functions.typing import PY2_FLOAT_RE
+
+    # the SAME regex string runs in both engines (Java regex / RE2)
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(l_quantity AS VARCHAR)
+           || CASE WHEN l_linenumber % 3 = 0 THEN 'D'
+                   WHEN l_linenumber % 3 = 1 THEN ''
+                   ELSE 'e2' END AS cell
+  FROM lineitem WHERE l_orderkey < 100
 )
+SELECT l_orderkey, l_linenumber, cell,
+       regexp_matches(cell, '{PY2_FLOAT_RE}') AS is_py2_float,
+       TRY_CAST(l_returnflag AS DOUBLE) AS flag_typed
+FROM s
+"""
+
+
+@register("float_typing", oracle=_py2_float_oracle_sql())
 def float_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10: numeric typing — try_cast in the DataFrame layer (the kernel uses
-    the py2-float grammar in-kernel where exactness matters)."""
+    """F10: numeric typing via the py2 float() grammar (MapperTools.py:
+    183-195) as a shared-regex JVM predicate — NOT try_cast, whose grammar
+    differs (a 'D'-suffixed cell casts in Spark but raises in py2; the
+    crafted cells here pin that divergence on every third row)."""
+    from ..functions.typing import py2_float_matches
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    cell = F.concat(
+        F.col("l_quantity").cast("string"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("D"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("e2")),
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_quantity").cast("string").try_cast("double").alias("qty_typed"),
+        cell.alias("cell"),
+        py2_float_matches(cell).alias("is_py2_float"),
         F.col("l_returnflag").try_cast("double").alias("flag_typed"),
     )
 
@@ -1271,30 +1294,106 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+# near-dup candidate generation parameters (shared Spark <-> DuckDB)
+NDUP_PLANES = 4
+NDUP_TABLES = 8
+# test embeddings have weak neighbor structure (max pairwise cos ~0.51 at
+# sf0.01), so the "near-dup" bar sits where a few hundred pairs survive —
+# the verify join and threshold logic get exercised, not vacuously satisfied
+NDUP_THRESHOLD = 0.3
+
+
+def _duck_ndup_bucket() -> str:
+    """DuckDB replica of operators.similarity.sign_lsh_bucket over the
+    1000x-quantized vector ``q`` (integer-valued doubles -> exact sums, so
+    the sign bit can never disagree between engines on summation order)."""
+    terms = []
+    for p in range(NDUP_PLANES):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, len(q)), "
+            f"j -> q[j] * (CASE WHEN ((1 + (2*{p}+3+17*t.t)*(j+6)) % 13) - 6 >= 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_DUCK_NDUP_COS = """
+round(
+  list_sum(list_transform(generate_series(1, len(va.e)), i -> va.e[i] * vb.e[i]))
+  / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(vb.e, x -> x * x)))), 6)
+"""
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-WITH v AS (SELECT vec_id, label,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-           FROM embeddings WHERE vec_id < 60)
-SELECT q.vec_id AS a, v.vec_id AS b, q.label, {_DUCK_COS} AS cos_sim
-FROM v q JOIN v v ON q.label = v.label AND q.vec_id < v.vec_id
-""",
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+qv AS (SELECT vec_id, e, list_transform(e, x -> round(x * 1000)) AS q FROM v),
+b AS (SELECT vec_id, t.t AS tbl, {{bucket}} AS bucket
+      FROM qv, generate_series(0, {NDUP_TABLES - 1}) t(t)),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                   AND l.vec_id < r.vec_id
+),
+sims AS (
+  SELECT p.a, p.b, {_DUCK_NDUP_COS} AS cos_sim
+  FROM pairs p JOIN v va ON p.a = va.vec_id JOIN v vb ON p.b = vb.vec_id
+)
+SELECT a, b, cos_sim FROM sims WHERE cos_sim >= {NDUP_THRESHOLD}
+""".replace("{bucket}", _duck_ndup_bucket()),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
-    v = emb.select(
-        "vec_id", "label", S.as_double(F.col("embedding")).alias("e")
+    """Embedding near-duplicate pairs, scale-safe: candidates come from a
+    multi-table sign-LSH bucket equi-join (one shuffle on (table, bucket)),
+    then ONE exact cosine per deduped candidate pair with a threshold — never
+    an all-pairs self-join, so the plan grows with bucket occupancy instead
+    of quadratically in corpus size.  The LSH buckets are computed on a
+    1000x-quantized copy of the vector: projections are then sums of
+    integer-valued doubles (exact in IEEE754 whatever the summation order),
+    which makes the bucket ids engine-reproducible bit-for-bit — the DuckDB
+    oracle replays the identical hyperplane arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", S.as_double(F.col("embedding")).alias("e"))
+    # stage the quantized copy in its own projection: sign_lsh_bucket
+    # references its input once per plane and higher-order fns get no CSE
+    qv = v.select(
+        "vec_id", "e", F.transform("e", lambda x: F.round(x * 1000)).alias("q")
     )
-    left = v.select(F.col("vec_id").alias("a"), "label", F.col("e").alias("qe"))
-    right = v.select(F.col("vec_id").alias("b"),
-                     F.col("label").alias("rlabel"), F.col("e").alias("ne"))
+    bucket_arr = F.array(
+        *[
+            S.sign_lsh_bucket(F.col("q"), NDUP_PLANES, table=t)
+            for t in range(NDUP_TABLES)
+        ]
+    )
+    b = qv.select("vec_id", bucket_arr.alias("buckets")).select(
+        "vec_id", F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    pairs = (
+        b.select(F.col("vec_id").alias("a"), "tbl", "bucket")
+        .join(b.select(F.col("vec_id").alias("b"), "tbl", "bucket"),
+              ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    side = v.select("vec_id", "e", S.norm(F.col("e")).alias("n"))
     return (
-        left.join(right, (left.label == right.rlabel) & (left.a < right.b))
+        pairs.join(
+            side.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"),
+                        F.col("n").alias("na")), "a")
+        .join(
+            side.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"),
+                        F.col("n").alias("nb")), "b")
         .select(
-            "a", "b", "label",
-            F.round(S.cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+            "a", "b",
+            F.round(
+                S.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= NDUP_THRESHOLD)
     )
 
 

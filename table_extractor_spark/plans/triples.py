@@ -30,7 +30,9 @@ partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.typing import py2_float_matches
 
 SECTION_PREFIX = "SECTION_"
 
@@ -85,14 +87,13 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
         )
     )
 
-    # reification index: monotone row counter across ALL of a doc's tables (A9)
+    # reification index: monotone row counter across ALL of a doc's tables
+    # (A9) — dense_rank directly on the cells (each distinct (table, row)
+    # gets the next counter value), which rides the doc_id window partition
+    # already paid for; the r01 distinct+row_number+re-join did the same
+    # numbering with an avoidable extra shuffle and join
     w_rows = Window.partitionBy("doc_id").orderBy("table_idx", "row_idx")
-    rows = (
-        cells.select("doc_id", "table_idx", "row_idx", "section")
-        .distinct()
-        .withColumn("reif", F.row_number().over(w_rows))
-    )
-    cells = cells.join(rows, ["doc_id", "table_idx", "row_idx", "section"])
+    cells = cells.withColumn("reif", F.dense_rank().over(w_rows))
 
     # J2: section gate — inner broadcast join drops unmapped tables
     sect_rules = rules.select(
@@ -136,8 +137,12 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
         )
     )
 
-    # cell triples: mapped, non-empty cells; typed (F10 via try_cast — the
-    # kernel already normalized numerics to python-float-compatible text)
+    # cell triples: mapped, non-empty cells; typed via the py2 float()
+    # grammar (F10, MapperTools.py:183-195) — NOT try_cast, whose grammar
+    # differs (e.g. '1.5D' casts in Spark, raises in py2).  The reference's
+    # xsd:int branch (Mapper.py:204-205) is unreachable for string cells —
+    # every string py2 int() accepts, py2 float() accepts first — so no
+    # 'int' kind exists here (documented rather than ported as dead code).
     cell_triples = cells.filter(
         F.col("prop").isNotNull() & (F.col("text") != "-")
     ).select(
@@ -148,9 +153,7 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("object"),
         F.when(F.col("media_ref") != "", F.lit("uri"))
-        .when(
-            F.col("text").try_cast("double").isNotNull(), F.lit("float")
-        )
+        .when(py2_float_matches(F.col("text")), F.lit("float"))
         .otherwise(F.lit("string"))
         .alias("object_kind"),
         (F.col("reif") * 1000 + F.col("col_idx") + 1).alias("t_order"),
@@ -159,25 +162,60 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
     return row_triples.unionByName(cell_triples)
 
 
+def _ttl_escape_literal(c: Column) -> Column:
+    """Turtle string-literal escaping (grammar ECHAR): backslash first, then
+    double quote, newline, carriage return, tab.  The reference serializes
+    via rdflib (which escapes); emitting raw cell text would produce
+    malformed Turtle for real wiki content."""
+    out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+# characters the IRIREF production forbids inside <...>, percent-encoded;
+# '%' first so already-encoded input stays decodable
+_IRI_ESCAPES = (
+    ("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22"),
+    ("{", "%7B"), ("}", "%7D"), ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+    ("\\", "%5C"), ("\n", "%0A"), ("\r", "%0D"), ("\t", "%09"),
+)
+
+
+def _ttl_escape_iri(c: Column) -> Column:
+    """Percent-encode the IRIREF-forbidden characters in a URI tail built
+    from data (doc_id / media_ref) so every <...> term is valid Turtle."""
+    out = c
+    for raw, enc in _IRI_ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(enc))
+    return out
+
+
 def ttl_lines(triples: DataFrame, base_uri: str = "http://dbpedia.org/resource/") -> DataFrame:
     """S5: serialize triples to Turtle text lines (one string column), the
     DataFrame equivalent of graph.serialize(dest, 'turtle')
-    (Analyzer.py:198-245).  Write with ``df.write.text``."""
-    uri = lambda c: F.concat(F.lit("<"), F.lit(base_uri), c, F.lit(">"))  # noqa: E731
+    (Analyzer.py:198-245).  Write with ``df.write.text``.  Literals are
+    ECHAR-escaped and data-derived URI terms percent-encoded, so the output
+    parses as Turtle whatever the cell text contains."""
+    uri = lambda c: F.concat(  # noqa: E731
+        F.lit("<"), F.lit(base_uri), _ttl_escape_iri(c), F.lit(">")
+    )
+    lit = lambda c: F.concat(F.lit('"'), _ttl_escape_literal(c), F.lit('"'))  # noqa: E731
     obj = (
         F.when(F.col("object_kind") == "resource", uri(F.col("object")))
         .when(
             F.col("object_kind") == "uri",
-            F.concat(F.lit("<"), F.col("object"), F.lit(">")),
+            F.concat(F.lit("<"), _ttl_escape_iri(F.col("object")), F.lit(">")),
         )
         .when(
             F.col("object_kind") == "float",
             F.concat(
-                F.lit('"'), F.col("object"),
-                F.lit('"^^<http://www.w3.org/2001/XMLSchema#float>'),
+                lit(F.col("object")),
+                F.lit("^^<http://www.w3.org/2001/XMLSchema#float>"),
             ),
         )
-        .otherwise(F.concat(F.lit('"'), F.col("object"), F.lit('"')))
+        .otherwise(lit(F.col("object")))
     )
     return triples.select(
         "doc_id",

@@ -1,0 +1,80 @@
+"""Giant-bucket guard for LSH candidate generation.
+
+A boilerplate-heavy corpus can put thousands of near-identical documents in
+one (band, bucket) — pair generation then goes quadratic in that bucket's
+size.  ``max_bucket_size`` must bound the pair count, and the drop must be
+observable (no silent caps): ``lsh_oversized_buckets`` reports exactly which
+buckets were excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from table_extractor_spark.operators.dedup import (
+    lsh_buckets,
+    lsh_candidate_pairs,
+    lsh_oversized_buckets,
+    minhash_signatures,
+)
+
+
+def _degenerate_corpus(spark):
+    """40 byte-identical docs (one degenerate bucket per band) + 3 distinct
+    docs + 2 mutual near-dups that only agree on some bands."""
+    rows = [(f"dup_{i}", "the same boilerplate text repeated everywhere")
+            for i in range(40)]
+    rows += [
+        ("uniq_a", "completely different words about painting and rivers"),
+        ("uniq_b", "another unrelated text on geology and mineral strata"),
+        ("uniq_c", "a third singleton document concerning harbor logistics"),
+        ("near_1", "shared prefix words here then tail alpha beta gamma delta"),
+        ("near_2", "shared prefix words here then tail alpha beta gamma zeta"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bucket_cap_bounds_pair_count(spark):
+    docs = _degenerate_corpus(spark)
+    buckets = lsh_buckets(minhash_signatures(docs))
+
+    uncapped = lsh_candidate_pairs(buckets).count()
+    # the 40 identical docs alone give 40*39/2 = 780 pairs
+    assert uncapped >= 780
+
+    capped = lsh_candidate_pairs(buckets, max_bucket_size=10)
+    capped_rows = capped.collect()
+    # every degenerate pair is gone; only small-bucket candidates remain
+    assert len(capped_rows) < 40
+    assert not any(r.a.startswith("dup_") for r in capped_rows)
+    # the survivors still include the genuine near-dup pair
+    assert ("near_1", "near_2") in {(r.a, r.b) for r in capped_rows}
+
+
+def test_dropped_buckets_are_reported(spark):
+    docs = _degenerate_corpus(spark)
+    buckets = lsh_buckets(minhash_signatures(docs))
+
+    dropped = lsh_oversized_buckets(buckets, max_bucket_size=10).collect()
+    # identical docs share every band's bucket -> one oversized bucket per band
+    assert len(dropped) == 4
+    assert all(r.size == 40 for r in dropped)
+    assert sorted(r.band for r in dropped) == [0, 1, 2, 3]
+
+
+def test_cap_does_not_add_extra_shuffle(spark):
+    """The size guard must ride the (band, bucket) partitioning the self-join
+    already needs — same number of Exchanges as the uncapped plan."""
+    docs = _degenerate_corpus(spark)
+    buckets = lsh_buckets(minhash_signatures(docs))
+
+    def n_exchanges(df):
+        qe = df._jdf.queryExecution()
+        plan = df.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            qe, "formatted"
+        )
+        return plan.count("Exchange")
+
+    base = n_exchanges(lsh_candidate_pairs(buckets))
+    capped = n_exchanges(lsh_candidate_pairs(buckets, max_bucket_size=10))
+    assert capped <= base + 1  # at most the window's own exchange, reused

@@ -226,3 +226,38 @@ def test_summary_filter_needs_char_difference():
     ]
     out = filter_summary_rows(rows, m)
     assert len(out) == 3
+
+
+def test_swallowed_refine_crash_counts_kernel_error():
+    """Quirk-faithful exception swallows inside the per-table refine pipeline
+    must INCREMENT kernel_errors (the ops surface at 10^12 docs) while the
+    document still emits its other tables — reference behavior is to survive
+    (Analyzer.py:163-173), ours additionally records."""
+    from table_extractor_spark.kernel.document import extract_document
+
+    W = '<table class="wikitable">'
+    poison = (W + '<tr><th colspan="zz">H</th></tr>'
+              '<tr><td>1</td></tr><tr><td>2</td></tr></table>')
+    clean = (W + '<tr><th>A</th></tr>'
+             '<tr><td>1</td></tr><tr><td>2</td></tr></table>')
+    doc = [
+        {"kind": "heading", "text": "Sec", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": poison + clean, "media_ref": "", "offset": 1},
+    ]
+    out, m = extract_document("T", doc)
+    assert m["kernel_errors"] == 1
+    assert m["tables_analyzed"] == 2
+    # the clean table's spans still come out
+    assert m["rows_extracted"] >= 2
+    assert any(k == "header" and t == "A" for k, t, _, _ in out)
+
+
+def test_clean_corpus_has_zero_kernel_errors():
+    """Counting the swallows must not reinterpret NORMAL control flow as
+    errors: the full fixture corpus (every quirk golden) stays at zero."""
+    from table_extractor_spark.kernel.document import extract_document
+    from table_extractor_spark.sources.corpus import corpus_rows
+
+    for r in corpus_rows():
+        _, m = extract_document(r["doc_id"], r["spans"])
+        assert m["kernel_errors"] == 0, r["doc_id"]

@@ -76,3 +76,55 @@ def test_triples_joins_all_broadcast(spark):
 
     plan = formatted(Q.queries()["emit_triples"](spark, SF))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_near_dup_pairs_has_no_cross_product(spark):
+    """embedding_near_dup_pairs must generate candidates through the LSH
+    bucket equi-join — never a within-group cross product (the r01 version's
+    label self-join was quadratic in label-class size)."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["embedding_near_dup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # candidate generation is an equi hash join on (tbl, bucket)
+    assert "tbl" in plan and "bucket" in plan, plan
+
+
+def test_emit_triples_reification_has_no_rejoin(spark):
+    """A9 reification is a dense_rank on the cells' own doc window — the r01
+    distinct+row_number+re-join version paid 52 Exchanges for this plan;
+    dense_rank brought it to 28.  Budget-pin the win with headroom."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["emit_triples"](spark, SF))
+    assert plan.count("Exchange") <= 35, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan
+
+
+def test_ttl_lines_escape_turtle(spark):
+    """F-grammar: literals ECHAR-escaped, URI terms percent-encoded — raw
+    wiki text (quotes, backslashes, newlines) must serialize to VALID
+    Turtle, unlike the r01 version (ADVICE finding)."""
+    from table_extractor_spark.plans.triples import ttl_lines
+    t = spark.createDataFrame(
+        [
+            ("d 1", 'he said "hi"\\now', "pred`x", 'val\\ue\t"q"\nz', "string", 1),
+            ("d2", "s", "p", "img://a b/<c>.jpg", "uri", 2),
+            ("d3", "s", "p", "1.5", "float", 3),
+            ("d4", "s", "p", "Res|{}", "resource", 4),
+        ],
+        ["doc_id", "subject", "predicate", "object", "object_kind", "t_order"],
+    )
+    lines = {r.doc_id: r.line for r in ttl_lines(t).collect()}
+    assert lines["d 1"] == (
+        "<http://dbpedia.org/resource/he%20said%20%22hi%22%5Cnow> "
+        '<http://dbpedia.org/resource/pred%60x> "val\\\\ue\\t\\"q\\"\\nz" .'
+    )
+    assert lines["d2"].split(" ")[2] == "<img://a%20b/%3Cc%3E.jpg>"
+    assert lines["d4"].split(" ")[2] == (
+        "<http://dbpedia.org/resource/Res%7C%7B%7D>"
+    )
+    # no raw newline / unescaped quote survives in any emitted line
+    for line in lines.values():
+        assert "\n" not in line and "\t" not in line
