@@ -42,14 +42,19 @@ def asof_join(
     if direction != "backward":
         raise NotImplementedError("only backward (latest at-or-before) as-of")
 
-    tagged_left = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
-        tagged_left = tagged_left.withColumn(f"__r_{c}", F.lit(None))
+    # the fill-down carrier is ONE struct built only on right rows: a matched
+    # right row whose value column is NULL then yields NULL (row identity is
+    # the struct, never the individual columns), instead of last(ignorenulls)
+    # per column reaching past it to an older non-null value — DuckDB ASOF
+    # LEFT JOIN semantics
+    tagged_left = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None)
+    )
     tagged_right = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
 
@@ -59,12 +64,8 @@ def asof_join(
         .orderBy(F.col(on), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in value_cols:
-        filled = filled.withColumn(
-            f"__f_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+    filled = unioned.withColumn("__f", F.last("__r", ignorenulls=True).over(w))
     out_cols = [c for c in left.columns] + [
-        F.col(f"__f_{c}").alias(f"right_{c}") for c in value_cols
+        F.col(f"__f.{c}").alias(f"right_{c}") for c in value_cols
     ]
     return filled.filter(F.col("__side") == 1).select(*out_cols)

@@ -34,7 +34,18 @@ def bucketed_range_join(
     """Join left rows to right rows where ``lo <= point < hi``.
 
     Column names must be disjoint between the two frames apart from the
-    join machinery; the output carries all columns of both."""
+    join machinery; the output carries all columns of both.
+
+    ``how``: 'inner' or 'left'.  A left join CANNOT be pushed through the
+    bucket join directly — the exact refine filter after an outer join would
+    drop NULL-extended and bucket-matched-but-refine-failed left rows,
+    silently degrading to inner — so left semantics refine the inner matches
+    first, then union back the unmatched left rows with NULL right columns
+    (anti-join on a per-row id)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"bucketed_range_join supports how='inner'|'left', got {how!r}"
+        )
     w = float(bucket_width)
     r_exploded = right.withColumn(
         "__bucket",
@@ -52,7 +63,17 @@ def bucketed_range_join(
         ),
     )
     l_bucketed = left.withColumn("__bucket", F.floor(F.col(point) / w).cast("long"))
-    joined = l_bucketed.join(r_exploded, on="__bucket", how=how).filter(
+    if how == "left":
+        # per-row identity for the anti-join; lives only inside this plan
+        l_bucketed = l_bucketed.withColumn("__lid", F.monotonically_increasing_id())
+    inner = l_bucketed.join(r_exploded, on="__bucket", how="inner").filter(
         (F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi))
     )
-    return joined.drop("__bucket")
+    if how == "inner":
+        return inner.drop("__bucket")
+    unmatched = l_bucketed.join(
+        inner.select("__lid"), on="__lid", how="left_anti"
+    ).drop("__bucket", "__lid")
+    return inner.drop("__bucket", "__lid").unionByName(
+        unmatched, allowMissingColumns=True
+    )

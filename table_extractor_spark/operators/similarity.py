@@ -76,37 +76,95 @@ def brute_force_topk(
     )
 
 
-def ivf_index(
-    vectors: DataFrame, n_centroids: int = 16,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> tuple:
-    """Build an IVF-style index: ``(centroids_df, assignments_df)``.
-
-    Centroids are picked deterministically (the ``n_centroids`` lowest ids —
-    at production scale you'd run a few k-means rounds; the INDEX SHAPE, a
-    ``centroid_id -> vectors`` table, is identical).  Assignment is one
-    broadcast of the centroids against the corpus + a per-row argmin — no
-    shuffle of the vectors.  Persist ``assignments`` as the index table and
-    cluster/bucket it by ``centroid_id`` so a probe reads only its lists.
-    """
-    v = vectors.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).select("vid", "v", norm(F.col("v")).alias("vn"))
-    centroids = (
-        v.orderBy("vid").limit(n_centroids)
-        .select(F.col("vid").alias("centroid_id"), F.col("v").alias("cv"),
-                F.col("vn").alias("cn"))
-    )
+def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, v, vn, centroid_id): per-row argmax cosine against the
+    broadcast centroid set — no shuffle of the vectors."""
     scored = v.crossJoin(F.broadcast(centroids)).select(
         "vid", "v", "vn", "centroid_id",
         (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), "centroid_id")
-    assignments = (
+    return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("centroid_id", "vid", "v", "vn")
+        .select("vid", "v", "vn", "centroid_id")
     )
+
+
+def ivf_index(
+    vectors: DataFrame, n_centroids: int = 16, kmeans_iters: int = 3,
+    train_sample_mod: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple:
+    """Build an IVF index: ``(centroids_df, assignments_df)``.
+
+    Centroids are trained with ``kmeans_iters`` spherical-k-means (Lloyd)
+    rounds: assign -> per-cluster element-wise mean -> iterate.  Seeding is
+    deterministic (the ``n_centroids`` lowest ids).  Each round is pure
+    DataFrame aggregation — assignment broadcasts the centroids (no corpus
+    shuffle); the mean update posexplodes the TRAINING vectors (dim x rows)
+    and aggregates per (centroid, position).  At 10^9 vectors train on a
+    hash-sample via ``train_sample_mod`` (keep vid where
+    pmod(hash(vid), mod) = 0 — the FAISS practice: a sample fixes the
+    centroids, the full corpus is assigned exactly once at the end).  Only
+    the k centroid arrays ever reach the driver between rounds (O(k*dim),
+    truncates the iterative lineage like MLlib's k-means).
+
+    Empty clusters keep their previous centroid.  Persist ``assignments`` as
+    the index table, clustered by ``centroid_id`` so a probe reads only its
+    lists.
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).select("vid", "v", norm(F.col("v")).alias("vn"))
+
+    train = v
+    if train_sample_mod > 1:
+        train = v.filter(
+            F.pmod(F.xxhash64("vid"), F.lit(train_sample_mod)) == 0
+        )
+    train = train.persist()
+
+    centroids = (
+        train.orderBy("vid").limit(n_centroids)
+        .select(F.col("vid").alias("centroid_id"), F.col("v").alias("cv"),
+                F.col("vn").alias("cn"))
+    )
+    cent_rows = centroids.select("centroid_id", "cv").collect()
+    for _ in range(max(kmeans_iters, 0)):
+        cent_df = spark.createDataFrame(
+            [(r.centroid_id, r.cv) for r in cent_rows],
+            "centroid_id long, cv array<double>",
+        ).select("centroid_id", "cv", norm(F.col("cv")).alias("cn"))
+        assigned = _assign_to_centroids(train, cent_df)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+        )
+        new_by_id = {r.centroid_id: r.cv for r in means.collect()}
+        # empty cluster -> previous centroid survives
+        cent_rows = [
+            type(r)(centroid_id=r.centroid_id,
+                    cv=new_by_id.get(r.centroid_id, r.cv))
+            for r in cent_rows
+        ]
+    train.unpersist()
+
+    centroids = spark.createDataFrame(
+        [(r.centroid_id, r.cv) for r in cent_rows],
+        "centroid_id long, cv array<double>",
+    ).select("centroid_id", "cv", norm(F.col("cv")).alias("cn"))
+    assigned = _assign_to_centroids(v, centroids)
+    assignments = assigned.select("centroid_id", "vid", "v", "vn")
     return centroids, assignments
 
 

@@ -66,13 +66,18 @@ def settings_lines(inventory: DataFrame) -> DataFrame:
     """S6: the settings-FILE sink — 'SECTION_<s>' group headers followed by
     '<header> = <property>' lines, ordered like WriteSettingsFile.py:27
     (sections sorted).  Write with df.select("line").write.text."""
+    # section key normalization per WriteSettingsFile.py:60-62:
+    # ' ' and '-' -> '_'; replace_accents is a NO-OP for these keys in the
+    # reference (unicode input hits the TypeError quirk of
+    # delete_accented_characters, Utilities.py:451-464) so accents stay
     section_lines = inventory.select(
         F.col("section"),
         F.lit(0).alias("pos"),
         F.lit("").alias("hdr"),
-        F.concat(F.lit("SECTION_"), F.regexp_replace("section", " ", "_")).alias(
-            "line"
-        ),
+        F.concat(
+            F.lit("SECTION_"),
+            F.translate("section", " -", "__"),
+        ).alias("line"),
     ).distinct()
     header_lines = inventory.select(
         "section",
@@ -85,3 +90,30 @@ def settings_lines(inventory: DataFrame) -> DataFrame:
         .orderBy("section", "pos", "hdr")
         .select("section", "line")
     )
+
+
+def resource_list_lines(uris: DataFrame, uri_col: str = "uri") -> DataFrame:
+    """S7: the Selector's resource-list content (Selector.py:80-124): keep
+    URIs containing 'resource', take the path segment AFTER the 'resource'
+    segment, one name per line.  All JVM-side (split + array_position)."""
+    parts = F.split(F.col(uri_col), "/")
+    pos = F.array_position(parts, "resource")
+    return (
+        uris.filter(F.col(uri_col).contains("resource"))
+        # a URI merely CONTAINING 'resource' without an exact segment hits
+        # list.index's ValueError in the reference -> swallowed, row skipped
+        .filter(pos > 0)
+        .select(F.element_at(parts, (pos + 1).cast("int")).alias("line"))
+        .filter(F.col("line").isNotNull())
+    )
+
+
+def write_resource_list(
+    uris: DataFrame, path: str, uri_col: str = "uri"
+) -> None:
+    """S7 sink: ``Resource_lists/<date>_<topic>_<chapter>.txt`` equivalent —
+    the caller picks the path; content is one resource name per line.  A
+    plain distributed text write: at 10^9 resources this is many part files,
+    exactly what a downstream Spark read wants (the reference's single
+    file handle, Selector.py:106, is the single-node bottleneck replaced)."""
+    resource_list_lines(uris, uri_col).write.mode("overwrite").text(path)

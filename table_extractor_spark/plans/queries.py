@@ -1112,6 +1112,49 @@ def uri_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "resource_list",
+    oracle="""
+WITH u AS (
+  SELECT CASE
+           WHEN p_partkey % 3 = 0
+             THEN 'http://dbpedia.org/resource/' || replace(p_name, ' ', '_')
+           WHEN p_partkey % 3 = 1
+             THEN 'http://dbpedia.org/ontology/' || replace(p_name, ' ', '_')
+           ELSE 'http://resourceful.example/' || replace(p_name, ' ', '_')
+         END AS uri
+  FROM part WHERE p_partkey < 300
+), parts AS (
+  SELECT uri, string_split(uri, '/') AS p FROM u WHERE contains(uri, 'resource')
+)
+SELECT p[list_position(p, 'resource') + 1] AS line
+FROM parts WHERE list_position(p, 'resource') > 0
+""",
+)
+def resource_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the Selector's resource-list sink content (Selector.py:80-124) —
+    URIs with an exact 'resource' path segment reduced to the name after it;
+    'ontology' URIs and URIs merely CONTAINING 'resource' (ValueError ->
+    skipped in the reference) are dropped."""
+    from .explorer import resource_list_lines
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    name = F.replace("p_name", F.lit(" "), F.lit("_"))
+    uris = p.select(
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("http://dbpedia.org/resource/"), name),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.lit("http://dbpedia.org/ontology/"), name),
+        )
+        .otherwise(F.concat(F.lit("http://resourceful.example/"), name))
+        .alias("uri")
+    )
+    return resource_list_lines(uris)
+
+
 # ===========================================================================
 # C. training-data pipeline operators (dedup / similarity / text analysis)
 # ===========================================================================

@@ -47,11 +47,15 @@ LINEAGE_COLS = (
 class CheckpointedRun:
     """A resumable extraction run over a documents table.
 
-    ``base_dir`` layout::
+    ``base_dir`` layout (outputs namespaced PER RUN — dynamic partition
+    overwrite replaces whole ``bucket=`` partitions, so two runs sharing an
+    output dir would destroy each other's committed spans whenever their
+    docs hash to the same bucket, e.g. an incremental run over only-new
+    docs wiping the prior run's buckets)::
 
-        <base_dir>/out_spans/bucket=<k>/...parquet   (partitioned output)
-        <base_dir>/metrics/bucket=<k>/...parquet     (per-doc metrics)
-        <base_dir>/lineage/...parquet                (append-only, 1 row/bucket)
+        <base_dir>/out_spans/run_id=<id>/bucket=<k>/...parquet
+        <base_dir>/metrics/run_id=<id>/bucket=<k>/...parquet
+        <base_dir>/lineage/...parquet   (append-only, 1 row/bucket, all runs)
     """
 
     base_dir: str
@@ -60,13 +64,19 @@ class CheckpointedRun:
     salt: int = 0
     wave_size: int = 16
 
+    def __post_init__(self) -> None:
+        if "/" in self.run_id or "=" in self.run_id or not self.run_id:
+            raise ValueError(
+                f"run_id must be a non-empty path-safe token, got {self.run_id!r}"
+            )
+
     @property
     def out_dir(self) -> str:
-        return os.path.join(self.base_dir, "out_spans")
+        return os.path.join(self.base_dir, "out_spans", f"run_id={self.run_id}")
 
     @property
     def metrics_dir(self) -> str:
-        return os.path.join(self.base_dir, "metrics")
+        return os.path.join(self.base_dir, "metrics", f"run_id={self.run_id}")
 
     @property
     def lineage_dir(self) -> str:

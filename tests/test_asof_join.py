@@ -69,3 +69,39 @@ def test_asof_forward_unimplemented(spark):
             spark.range(1), spark.range(1), on="id", by="id",
             value_cols=[], direction="forward",
         )
+
+
+def test_null_valued_right_row_is_matched_not_skipped(spark):
+    """A right row whose value column is NULL is still THE match for later
+    left rows — last(ignorenulls) per column would reach past it to an older
+    non-null value (ADVICE finding); the struct carrier must not."""
+    from table_extractor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 15), ("k", 25)], ["by", "t"]
+    )
+    right = spark.createDataFrame(
+        [("k", 0, "old"), ("k", 10, None), ("k", 20, "new")],
+        ["by", "t", "v"],
+    )
+    got = {
+        r.t: r.right_v
+        for r in asof_join(
+            left, right, on="t", by="by", value_cols=["v"]
+        ).collect()
+    }
+    assert got == {5: "old", 15: None, 25: "new"}
+
+
+def test_no_right_row_yields_null(spark):
+    from table_extractor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1), ("q", 9)], ["by", "t"])
+    right = spark.createDataFrame([("k", 5, 1.0)], ["by", "t", "v"])
+    got = {
+        (r.by, r.t): r.right_v
+        for r in asof_join(
+            left, right, on="t", by="by", value_cols=["v"]
+        ).collect()
+    }
+    assert got == {("k", 1): None, ("q", 9): None}

@@ -117,3 +117,37 @@ def test_incremental_manifest_anti_join(spark, tmp_path):
     # idempotent re-record of the same ids does not resurrect them
     record_processed(first_half, manifest, run_id="r2")
     assert new_documents(spark, docs, manifest).count() == remaining.count()
+
+
+def test_two_runs_sharing_base_dir_do_not_clobber(spark, tmp_path):
+    """ADVICE scenario: an incremental run (new run_id, only new docs) on a
+    reused output dir must NOT replace the prior run's bucket partitions —
+    outputs are namespaced per run, so read_output(r1) stays complete after
+    r2 writes buckets the old docs also hash to."""
+    base = str(tmp_path / "shared")
+    docs_a = fixture_corpus_df(spark, copies=2)
+
+    run_a = CheckpointedRun(base_dir=base, run_id="rA", num_buckets=4, salt=7)
+    run_a.run(spark, docs_a)
+    before = spans_by_doc(run_a.read_output(spark))
+    assert before  # non-empty baseline
+
+    # "incremental" second run: a disjoint, much smaller doc set that will
+    # certainly share buckets with run A (only 4 buckets)
+    docs_b = docs_a.limit(3).withColumn(
+        "doc_id", F.concat(F.lit("new_"), F.col("doc_id"))
+    )
+    run_b = CheckpointedRun(base_dir=base, run_id="rB", num_buckets=4, salt=7)
+    run_b.run(spark, docs_b)
+
+    after = spans_by_doc(run_a.read_output(spark))
+    assert after == before  # r1's committed outputs intact
+    b_docs = set(spans_by_doc(run_b.read_output(spark)))
+    assert b_docs and all(d.startswith("new_") for d in b_docs)
+
+
+def test_path_unsafe_run_id_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        CheckpointedRun(base_dir=str(tmp_path), run_id="a/b")
+    with pytest.raises(ValueError):
+        CheckpointedRun(base_dir=str(tmp_path), run_id="x=1")

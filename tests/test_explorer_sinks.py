@@ -1,0 +1,77 @@
+"""Line-exact goldens for the explorer sinks (S6 settings file, S7 resource
+list) — the settings layout mirrors WriteSettingsFile.py:36-104 ordering
+(sections sorted, 'SECTION_' group line then one '<header> = <property>'
+line per header) and Selector.py:80-124 name extraction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _spans(spark):
+    """Two documents, two sections (one shared), hand-enumerable."""
+    rows = [
+        # doc A: section 'Career stats' with headers Year, Team
+        ("A", "section", "Career stats", "", 0),
+        ("A", "header", "Year", "", 1),
+        ("A", "header", "Team", "", 2),
+        # doc A: second table, section 'Personal-info' with header Born
+        ("A", "section", "Personal-info", "", 3),
+        ("A", "header", "Born", "", 4),
+        # doc B: same 'Career stats' section, headers Year, Goals
+        ("B", "section", "Career stats", "", 0),
+        ("B", "header", "Year", "", 1),
+        ("B", "header", "Goals", "", 2),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "kind", "text", "media_ref", "order"]
+    )
+
+
+def test_settings_file_golden(spark):
+    from table_extractor_spark.plans.explorer import (
+        settings_inventory,
+        settings_lines,
+    )
+
+    ontology = spark.createDataFrame(
+        [("year", "dbo:year"), ("team", "dbo:team")], ["label", "property"]
+    )
+    inv = settings_inventory(_spans(spark), ontology)
+    lines = [r.line for r in settings_lines(inv).collect()]
+    # hand-derived, line for line: sections sorted; ' ' and '-' -> '_' in the
+    # SECTION_ key (WriteSettingsFile.py:60-62); headers sorted within the
+    # section; ontology-matched properties pre-filled, blanks otherwise
+    assert lines == [
+        "SECTION_Career_stats",
+        "Goals = ",
+        "Team = dbo:team",
+        "Year = dbo:year",
+        "SECTION_Personal_info",
+        "Born = ",
+    ]
+
+
+def test_resource_list_write_smoke(spark, tmp_path):
+    from table_extractor_spark.plans.explorer import write_resource_list
+
+    uris = spark.createDataFrame(
+        [
+            ("http://dbpedia.org/resource/Barack_Obama",),
+            ("http://dbpedia.org/resource/Pel%C3%A9",),
+            ("http://dbpedia.org/ontology/Person",),  # no 'resource' -> out
+            ("http://resourceful.example/x",),  # substring only -> skipped
+        ],
+        ["uri"],
+    )
+    path = str(tmp_path / "rl")
+    write_resource_list(uris, path)
+    got = set()
+    for name in os.listdir(path):
+        if name.startswith("part-"):
+            with open(os.path.join(path, name)) as fh:
+                got.update(line.strip() for line in fh if line.strip())
+    assert got == {"Barack_Obama", "Pel%C3%A9"}

@@ -49,3 +49,39 @@ def test_plans_as_hash_join(spark):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_left_join_keeps_unmatched_and_refine_failed_rows(spark):
+    """how='left': left rows with no interval AND rows that bucket-matched
+    but failed the exact refine must survive with NULL right columns (the
+    r01 version silently degraded left to inner — ADVICE finding)."""
+    from table_extractor_spark.operators.rangejoin import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 55.0), (3, 999.0)], ["id", "v"]
+    )
+    # interval [0,10) matches v=5; [50,52) shares bucket 1 (w=50) with v=55
+    # but fails the refine; nothing near 999
+    right = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 50.0, 52.0)], ["rid", "lo", "hi"]
+    )
+    out = bucketed_range_join(
+        left, right, point="v", lo="lo", hi="hi", bucket_width=50.0, how="left"
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.rid)
+    assert by_id == {1: [10], 2: [None], 3: [None]}
+
+
+def test_unsupported_join_type_raises(spark):
+    from table_extractor_spark.operators.rangejoin import bucketed_range_join
+    import pytest
+
+    left = spark.createDataFrame([(1, 5.0)], ["id", "v"])
+    right = spark.createDataFrame([(10, 0.0, 10.0)], ["rid", "lo", "hi"])
+    with pytest.raises(ValueError):
+        bucketed_range_join(
+            left, right, point="v", lo="lo", hi="hi",
+            bucket_width=50.0, how="right",
+        )

@@ -60,3 +60,62 @@ def test_sign_lsh_recall_vs_brute_force(spark):
     # these embeddings have weak neighbor structure (mean top-3 cosine 0.30);
     # ideal Gaussian hyperplanes reach ~0.68 at the same parameters
     assert r >= 0.4, f"sign-LSH recall@3 too low: {r}"
+
+
+def _clustered_corpus(spark, D=16, K=8, N=40):
+    """Deterministic well-separated clusters (no RNG: sin-derived centers
+    and noise), where k-means training has a measurable effect."""
+    import math
+
+    rows = []
+    for j in range(K):
+        center = [math.sin(0.7 * j + 0.3 * i) for i in range(D)]
+        for n in range(N):
+            noise = [
+                0.05 * math.sin(1.3 * j + 2.1 * n + 0.9 * i) for i in range(D)
+            ]
+            rows.append((j * N + n, [c + e for c, e in zip(center, noise)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_training_improves_ivf(spark):
+    """Lloyd rounds must move the seed centroids (lowest-id picks, all from
+    one cluster here) onto the real cluster structure: recall@3 at nprobe=1
+    goes 0.875 -> 1.0 and the biggest inverted list shrinks (probe-cost
+    bound — the actual 10^9-vector win)."""
+    emb = _clustered_corpus(spark)
+    queries = emb.filter(F.col("vec_id") % 40 < 2)
+    exact = topk_sets(S.brute_force_topk(emb, queries, k=3))
+
+    def run(iters):
+        c, a = S.ivf_index(emb, n_centroids=8, kmeans_iters=iters)
+        r = recall(topk_sets(S.ivf_search(c, a, queries, k=3, nprobe=1)), exact)
+        max_list = (
+            a.groupBy("centroid_id").count().agg(F.max("count")).collect()[0][0]
+        )
+        return r, max_list
+
+    r0, ml0 = run(0)
+    r3, ml3 = run(3)
+    assert r3 == 1.0 and r3 > r0, (r0, r3)
+    assert ml3 < ml0, (ml0, ml3)
+
+
+def test_kmeans_balances_lists_on_weak_structure(spark):
+    """On the near-random test embeddings k-means buys BALANCE (bounded list
+    sizes -> bounded probe cost), not recall — pin that honestly."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, a0 = S.ivf_index(emb, n_centroids=32, kmeans_iters=0)
+    _, a3 = S.ivf_index(emb, n_centroids=32, kmeans_iters=3)
+    m0 = a0.groupBy("centroid_id").count().agg(F.max("count")).collect()[0][0]
+    m3 = a3.groupBy("centroid_id").count().agg(F.max("count")).collect()[0][0]
+    assert m3 <= m0, (m0, m3)
+
+
+def test_hash_sampled_training_matches_index_contract(spark):
+    """train_sample_mod trains on a hash-sample but the FULL corpus is
+    assigned: every vector still lands in exactly one list."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, a = S.ivf_index(emb, n_centroids=16, kmeans_iters=2, train_sample_mod=4)
+    assert a.count() == emb.count()
+    assert a.select("vid").distinct().count() == emb.count()
