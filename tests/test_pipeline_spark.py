@@ -111,13 +111,13 @@ def test_plan_shape(spark):
     docs = fixture_corpus_df(spark)
     out, _ = extract_pipeline(docs, num_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan, plan
+    assert "MapInArrow" in plan, plan
     assert plan.count("Exchange") == 1, plan
     # the table prefilter runs below (closer to scan than) the python stage;
     # toString prints top-down, so the prefilter's Filter appears AFTER
-    # MapInPandas in the text.  (There is also a post-parse Filter on kind
-    # above MapInPandas — look specifically for the exists(...) prefilter.)
-    ppos = plan.find("MapInPandas")
+    # MapInArrow in the text.  (There is also a post-parse Filter on kind
+    # above MapInArrow — look specifically for the exists(...) prefilter.)
+    ppos = plan.find("MapInArrow")
     fpos = plan.find("exists(")
     assert fpos > ppos >= 0, plan
 

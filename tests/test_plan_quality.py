@@ -59,7 +59,8 @@ def test_text_analysis_stays_jvm_side(spark):
     for name in ("quality_score", "token_count", "lang_id", "dedup_exact",
                  "minhash_signatures", "dedup_simhash"):
         plan = formatted(Q.queries()[name](spark, SF))
-        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+        assert "EvalPython" not in plan and "MapInPandas" not in plan \
+            and "MapInArrow" not in plan, (
             f"{name} unexpectedly crosses into Python:\n{plan}"
         )
 
