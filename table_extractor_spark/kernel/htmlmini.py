@@ -149,7 +149,14 @@ def parse_fragment(markup: str) -> Element:
         if closers:
             while len(stack) > 1 and stack[-1].tag in closers:
                 stack.pop()
-        node = Element(tag, _parse_attrs(rawattrs) if rawattrs.strip() else {})
+        # most tags carry no attributes: skip the parse without allocating a
+        # stripped copy (isspace never allocates)
+        node = Element(
+            tag,
+            _parse_attrs(rawattrs)
+            if rawattrs and not rawattrs.isspace()
+            else None,
+        )
         stack[-1].children.append(node)
         if not selfclose and tag not in void:
             stack.append(node)

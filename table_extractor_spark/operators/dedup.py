@@ -313,6 +313,43 @@ def near_dup_pipeline(
     )
 
 
+def ngram_containment(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 3,
+) -> DataFrame:
+    """Asymmetric containment for the given candidate pairs:
+    ``containment(a in b) = |A ∩ B| / |A|`` — catches a document EMBEDDED
+    inside a larger one (boilerplate wrapper, quote-with-commentary), which
+    symmetric Jaccard under-scores as the size ratio grows.  Returns
+    (a, b, n_common, containment_a_in_b, containment_b_in_a); exact int/int
+    division in double, engine-reproducible bit for bit.  Joins only the
+    candidate pairs, never the cross product."""
+    sets_ = df.select(
+        F.col(id_col).alias("sid"), shingle_hashes(F.col(text_col), k).alias("sh")
+    )
+    with_a = pairs.join(
+        sets_.select(F.col("sid").alias("a"), F.col("sh").alias("sha")), "a"
+    )
+    with_b = with_a.join(
+        sets_.select(F.col("sid").alias("b"), F.col("sh").alias("shb")), "b"
+    )
+    staged = with_b.select(
+        "a", "b",
+        F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+        F.size("sha").alias("__na"),
+        F.size("shb").alias("__nb"),
+    )
+    return staged.select(
+        "a", "b", "n_common",
+        (F.col("n_common").cast("double") / F.col("__na").cast("double")).alias(
+            "containment_a_in_b"
+        ),
+        (F.col("n_common").cast("double") / F.col("__nb").cast("double")).alias(
+            "containment_b_in_a"
+        ),
+    )
+
+
 def bottomk_fingerprint(text_col, k: int = 4, shingle_k: int = 3) -> F.Column:
     """Bottom-k sketch (document fingerprint): k smallest distinct shingle
     hashes, sorted — a deterministic winnowing-style fingerprint."""

@@ -322,6 +322,155 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-10.
+    The customer side is filter-reduced and broadcast; only lineitem (the
+    fact) shuffles for the aggregation — the join order Catalyst should and
+    does pick once the filters are pushed into the scans."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rollup_event_stats",
+    oracle="""
+SELECT event_type, user_id, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(user_id) AS INT) AS g_user
+FROM events
+GROUP BY ROLLUP(event_type, user_id)
+""",
+)
+def rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 at multiple granularities in ONE pass: ROLLUP computes
+    (type,user), (type), and grand-total rows in a single shuffle — the
+    alternative of three groupBys scans the fact table three times."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type", "user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("user_id").cast("int").alias("g_user"),
+    ).select("event_type", "user_id", "n", "sum_value", "g_type", "g_user")
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CAST(AVG(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS mavg
+FROM events
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average: a ROWS frame keeps the window operator
+    streaming (constant memory per partition) — never an unbounded RANGE
+    frame where a bounded one answers the question."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+            6,
+        ).alias("mavg"),
+    )
+
+
+@register(
+    "percentile_summary",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group.  Exact percentile
+    needs the group's values sorted, so it is the right tool up to groups
+    that fit an executor; beyond that switch to approx_percentile (t-digest,
+    mergeable map-side) — pinned separately in pytest because its sketch is
+    engine-specific and can never hash-match a DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
     "resource_count",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
 )
@@ -1261,6 +1410,33 @@ FROM pairs p JOIN h ha ON p.a = ha.doc_id JOIN h hb ON p.b = hb.doc_id
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.near_dup_pipeline(docs)
+
+
+@register(
+    "ngram_containment_dedup",
+    oracle=_DUCK_SIGS_CTE + """
+, pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT p.a, p.b,
+       len(list_intersect(ha.hs, hb.hs)) AS n_common,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) / len(ha.hs)
+         AS containment_a_in_b,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) / len(hb.hs)
+         AS containment_b_in_a
+FROM pairs p JOIN h ha ON p.a = ha.doc_id JOIN h hb ON p.b = hb.doc_id
+""",
+)
+def ngram_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (doc-embedded-in-doc): containment = |A∩B|/|A|
+    over LSH candidates — symmetric Jaccard under-scores a small doc wrapped
+    in a larger one; training-data dedup wants both signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    pairs = D.lsh_candidate_pairs(D.lsh_buckets(sigs))
+    return D.ngram_containment(docs, pairs)
 
 
 _DUCK_SIMHASH_TERMS = " + ".join(

@@ -129,3 +129,29 @@ def test_ttl_lines_escape_turtle(spark):
     # no raw newline / unescaped quote survives in any emitted line
     for line in lines.values():
         assert "\n" not in line and "\t" not in line
+
+
+def test_q3_broadcasts_filtered_dims(spark):
+    """TPC-H Q3 shape: the filter-reduced customer side must broadcast and
+    the filters must reach the scans — the fact table shuffles only for the
+    aggregation."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters" in plan
+    assert "IsNotNull(c_mktsegment)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """ROLLUP must be one Expand + one aggregation pipeline, not three scans."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["rollup_event_stats"](spark, SF))
+    assert plan.count("Expand") >= 1, plan
+    # one scan feeding one Expand — NOT a union of three per-granularity scans
+    assert "Union" not in plan, plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if ln.lstrip("+- ").startswith("Scan ")
+    ]
+    assert len(scan_lines) == 1, plan
