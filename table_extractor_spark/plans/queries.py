@@ -471,6 +471,30 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_event_counts",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_us,
+       epoch_us(time_bucket(INTERVAL '10 minutes', ts)
+                + INTERVAL '10 minutes') AS window_end_us,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-aggregation operator (streaming/stateful.py)
+    run in batch mode — identical plan minus the watermark state; the
+    streaming form (watermark closes windows, late data dropped, restart
+    resumes) is pinned in tests/test_streaming_stateful.py."""
+    from ..streaming.stateful import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return windowed_event_counts(ev)
+
+
+@register(
     "resource_count",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
 )

@@ -1,0 +1,144 @@
+"""Custom stateful streaming operators (SURVEY §2.8 extension).
+
+The reference is a batch crawler; these are the engine-side streaming
+counterparts a continuous ingestion deployment needs:
+
+* ``windowed_event_counts`` — tumbling event-time windows with a watermark:
+  late data inside the watermark updates its window, older data is dropped
+  and the window state is reclaimed (bounded state at 10^12 events — an
+  unwatermarked streaming agg grows without bound).
+* ``sessionize_stateful`` — gap-based sessionization as a CUSTOM stateful
+  operator via ``applyInPandasWithState``: per-user state (session start,
+  last event time, count) lives in the state store, survives micro-batch
+  boundaries AND query restarts (checkpointed), and closed sessions are
+  emitted exactly once.
+
+Scale notes: both operators shuffle once on their key (window/user); state
+is per-key and O(1) per user for the sessionizer.  The batch `sessionization`
+query (plans/queries.py) is the oracle-checked equivalent on bounded data —
+the streaming form exists for unbounded ingestion where a batch window over
+"all history" is impossible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Tumbling watermarked counts per (window, event_type).
+
+    Works on a STREAMING events frame (ts, event_type, value): append-mode
+    sinks emit each window once, after the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _session_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap sessionizer for one user: state = (start_us, last_us, n).
+
+    Deterministic within a micro-batch (events sorted by ts); a gap larger
+    than the configured threshold closes the current session and emits it.
+    The still-open session stays in state for the next batch / restart."""
+    gap_us = 30 * 60 * 1_000_000  # 30-minute gap, matching the batch query
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+    closed = []
+    for pdf in pdfs:
+        ts_us = pdf["ts_us"].sort_values()
+        for t in ts_us:
+            t = int(t)
+            if start_us < 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us = t
+                n += 1
+    state.update((start_us, last_us, n))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+        )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Streaming gap-based sessionization over (user_id, ts).
+
+    Emits CLOSED sessions (a newer event arrived more than the gap after the
+    session's last event).  State is one tuple per user in the state store —
+    checkpointed, so a restarted query resumes with open sessions intact.
+
+    Production note: this emits on the next event only; add
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
+    to also flush sessions for users who never return (kept event-driven
+    here so the test corpus is fully deterministic)."""
+    prepared = events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

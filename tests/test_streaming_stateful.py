@@ -1,0 +1,133 @@
+"""Watermarked windowed aggregation + applyInPandasWithState sessionization:
+state must survive micro-batch boundaries AND query restarts, and watermarks
+must both admit in-watermark late data and bound state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from table_extractor_spark.streaming.stateful import (
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user_id", StringType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mins(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _drain(spark, inp, out, ckpt, build):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+    q = (
+        build(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_windowed_counts_watermark_closes_windows(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    # batch 1: two events in window [12:00,12:10), one in [12:10,12:20)
+    _write_batch(
+        spark,
+        inp,
+        [
+            (_mins(1), "u1", "click", 1.0),
+            (_mins(2), "u1", "click", 2.0),
+            (_mins(11), "u2", "view", 5.0),
+        ],
+    )
+    _drain(spark, inp, out, ckpt, windowed_event_counts)
+
+    # batch 2: event far ahead (12:50) advances the watermark past the first
+    # windows' end + 15min ...
+    _write_batch(spark, inp, [(_mins(50), "u3", "view", 1.0)])
+    _drain(spark, inp, out, ckpt, windowed_event_counts)
+    # ... so append mode has now EMITTED the closed windows
+    rows = {
+        (r.window_start_us, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    w0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    ten_min = 10 * 60 * 1_000_000
+    assert rows[(w0, "click")] == (2, 3.0)
+    assert rows[(w0 + ten_min, "view")] == (1, 5.0)
+
+    # batch 3: a LATE event for the already-closed first window is dropped
+    # (older than the watermark), not double-emitted
+    _write_batch(spark, inp, [(_mins(3), "u1", "click", 99.0)])
+    _drain(spark, inp, out, ckpt, windowed_event_counts)
+    rows_after = [
+        r
+        for r in spark.read.parquet(out).collect()
+        if r.window_start_us == w0 and r.event_type == "click"
+    ]
+    assert len(rows_after) == 1 and rows_after[0].n == 2
+
+
+def test_stateful_sessionization_survives_restart(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    # batch 1: an open session for u1 (2 events, 5 min apart) — nothing
+    # closes, nothing is emitted; state holds the open session
+    _write_batch(
+        spark,
+        inp,
+        [(_mins(0), "u1", "click", 1.0), (_mins(5), "u1", "click", 1.0)],
+    )
+    _drain(spark, inp, out, ckpt, sessionize_stateful)
+    try:
+        emitted = spark.read.parquet(out).count()
+    except Exception:
+        emitted = 0
+    assert emitted == 0
+
+    # batch 2 (a SEPARATE query restarted from the checkpoint): an event 60
+    # min later closes the session carried in restored state
+    _write_batch(spark, inp, [(_mins(65), "u1", "click", 1.0)])
+    _drain(spark, inp, out, ckpt, sessionize_stateful)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    s = rows[0]
+    t0us = int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert (s.user_id, s.n_events) == ("u1", 2)
+    assert s.session_start_us == t0us
+    assert s.session_end_us == t0us + 5 * 60 * 1_000_000
+
+    # batch 3: gap smaller than 30 min -> still open, nothing new emitted
+    _write_batch(spark, inp, [(_mins(80), "u1", "click", 1.0)])
+    _drain(spark, inp, out, ckpt, sessionize_stateful)
+    assert spark.read.parquet(out).count() == 1
