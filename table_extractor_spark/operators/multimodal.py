@@ -195,6 +195,45 @@ def frame_sample_stub(media: DataFrame, every: int = 4) -> DataFrame:
     )
 
 
+EMBED_DIM = 16
+
+
+def embed_stub(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Media 'embedding' model stub: L2-normalized byte-histogram vector.
+
+    The real thing is a Torch/ONNX forward pass over decoded pixels; what the
+    Spark layer must get right — and what this exercises for real — is the
+    batch shape (one numpy matrix per Arrow batch through mapInPandas), the
+    output column type (array<double>, ANN-ready), and decode-before-shuffle
+    placement.  Deterministic and SQL-derivable, so the DuckDB oracle can
+    recompute the vectors exactly."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for c in pdf["content"]:
+                _, _, _, _, valid = parse_fake_header(c)
+                if not valid:
+                    vecs.append(None)
+                    continue
+                payload = np.frombuffer(bytes(c).split(b":", 3)[3], dtype="uint8")
+                hist = np.bincount(payload % dim, minlength=dim).astype("float64")
+                n = float(np.sqrt((hist * hist).sum()))
+                vecs.append((hist / n).tolist() if n > 0 else hist.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "embedding": vecs,
+                }
+            )
+
+    return media.mapInPandas(
+        gen, schema="doc_id string, media_ref string, embedding array<double>"
+    )
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake-media table from the documents table, in pure SQL
     (so the DuckDB oracle can rebuild it): width/height derived from doc_id,

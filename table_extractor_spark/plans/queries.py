@@ -1811,3 +1811,55 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_stub(M.synthesize_media(docs), every=4).select(
         "doc_id", "n_frames"
     )
+
+
+@register(
+    "media_embedding_topk",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch) % 16)
+           AS codes
+  FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+                        b -> CAST(len(list_filter(codes, x -> x = b))
+                                  AS DOUBLE)) AS hist
+  FROM c
+), v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS vid, doc_id AS did,
+         list_transform(
+           hist,
+           x -> x / sqrt(list_sum(list_transform(hist, y -> y * y)))) AS e
+  FROM h
+), q AS (SELECT * FROM v WHERE did < 5),
+sims AS (
+  SELECT q.vid AS query_id, v.vid AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.e)),
+                                   i -> q.e[i] * v.e[i]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+           AS cos_sim
+  FROM q, v WHERE q.vid <> v.vid
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 3
+""",
+)
+def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline composition: binary media -> embedding
+    model stub (numpy batch per Arrow batch, array<double> out) -> exact
+    cosine top-k.  The decode/embed step runs BEFORE any shuffle — only the
+    16-double vectors cross the wire, never the blobs; the oracle recomputes
+    the embeddings from the synthesized payload in pure SQL."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = M.embed_stub(M.synthesize_media(docs)).select("doc_id", "embedding")
+    queries_df = emb.filter(F.col("doc_id").cast("int") < 5)
+    return S.brute_force_topk(
+        emb, queries_df, k=3, id_col="doc_id", vec_col="embedding"
+    )

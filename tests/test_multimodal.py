@@ -67,3 +67,24 @@ def test_media_pipeline_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_embed_stub_unit_norm_and_poison_blob(spark):
+    """Embedding stub: valid blobs yield unit-L2 array<double> vectors;
+    malformed blobs yield NULL (never raise — a poison blob at 10^12 docs
+    must not kill the task)."""
+    from table_extractor_spark.operators.multimodal import embed_stub
+
+    media = spark.createDataFrame(
+        [
+            ("a", "img://a", bytearray(b"IMG1:4:3:hello world payload")),
+            ("b", "img://b", bytearray(b"NOT_A_CONTAINER")),
+            ("c", "img://c", None),
+        ],
+        "doc_id string, media_ref string, content binary",
+    )
+    rows = {r.doc_id: r.embedding for r in embed_stub(media).collect()}
+    assert rows["b"] is None and rows["c"] is None
+    v = rows["a"]
+    assert len(v) == 16
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-12
