@@ -46,6 +46,49 @@ def mean_word_len(text_col) -> F.Column:
     return total.cast("double") / F.size(ws).cast("double")
 
 
+def dup_word_ratio(text_col) -> F.Column:
+    """Fraction of word OCCURRENCES that are repeats of an earlier word —
+    the Gopher-style repetition signal (boilerplate and keyword-stuffed spam
+    score high; natural prose low).  1 - distinct/total, exact int counts."""
+    ws = words(F.lower(text_col))
+    total = F.size(ws)
+    return (
+        1.0
+        - F.size(F.array_distinct(ws)).cast("double")
+        / F.greatest(total, F.lit(1)).cast("double")
+    )
+
+
+def dup_ngram_char_ratio(text_col, n: int = 2) -> F.Column:
+    """Fraction of characters covered by repeated word n-grams (Gopher's
+    dup_ngram filters): 1 - (chars in distinct n-grams / chars in all
+    n-grams).  All JVM-side array ops; counts are exact ints."""
+    ws = words(F.lower(text_col))
+    grams = F.filter(
+        F.transform(
+            ws,
+            lambda _, i: F.when(
+                i <= F.size(ws) - n,
+                F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    total_chars = F.aggregate(
+        grams, F.lit(0).cast("long"), lambda acc, g: acc + F.length(g)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(grams),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.length(g),
+    )
+    # no n-grams at all (doc shorter than n words) = no repetition, not 100%
+    return F.when(total_chars == 0, F.lit(0.0)).otherwise(
+        1.0
+        - distinct_chars.cast("double") / total_chars.cast("double")
+    )
+
+
 def quality_score(text_col, stopwords=DEFAULT_STOPWORDS) -> F.Column:
     """Composite quality heuristic in [0, ~1]: rewards stopword presence and
     moderate word length, penalizes punctuation soup.  Deterministic double

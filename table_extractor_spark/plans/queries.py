@@ -1686,6 +1686,43 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_filters",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, w,
+         list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                        i -> w[i] || ' ' || w[i + 1]) AS grams
+  FROM t
+)
+SELECT doc_id,
+       ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                   / greatest(len(w), 1), 6) AS dup_word_ratio,
+       ROUND(1.0 - CAST(list_sum(list_transform(list_distinct(grams),
+                                                x -> length(x))) AS DOUBLE)
+                   / greatest(list_sum(list_transform(grams,
+                                                      x -> length(x))), 1),
+             6) AS dup_bigram_ratio
+FROM g
+""",
+)
+def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: fraction of repeated word
+    occurrences and of characters covered by repeated bigrams — the standard
+    boilerplate/spam signals in training-data curation.  Pure JVM array ops,
+    exact integer counts divided in double."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.dup_word_ratio(F.col("text")), 6).alias("dup_word_ratio"),
+        F.round(T.dup_ngram_char_ratio(F.col("text"), 2), 6).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+@register(
     "token_count",
     oracle="""
 SELECT doc_id,

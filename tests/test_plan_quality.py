@@ -155,3 +155,61 @@ def test_rollup_is_single_expand_aggregate(spark):
         ln for ln in plan.splitlines() if ln.lstrip("+- ").startswith("Scan ")
     ]
     assert len(scan_lines) == 1, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew beyond salting: AQE's runtime skew-join split must engage on a
+    hot-key join when a partition exceeds the skew thresholds — the engine's
+    second line of defense at 100 TB (salting covers the kernel stage;
+    arbitrary user joins rely on AQE).  Forced-tiny thresholds make the
+    behavior observable at test scale."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        # 50k-row fact, 90% on ONE key; 100-row dim
+        fact = spark.range(50000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS dataset (collect, not count — count builds a separate
+        # aggregate plan) so its adaptive plan is finalized, then inspect it
+        n = len(joined.collect())
+        assert n == 50000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skewed=" in plan.lower() or "skew" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -45,3 +45,36 @@ def test_containment_catches_embedded_doc(spark):
     assert cont.containment_b_in_a == 1.0  # small fully inside big
     assert cont.containment_a_in_b < 0.1
     assert jac.jaccard < 0.1  # symmetric measure misses the embedding
+
+
+def test_repetition_filters_hand_values(spark):
+    """Hand-computed repetition ratios, including the no-bigrams edge (a
+    one-word doc has zero repetition, not 100%)."""
+    from table_extractor_spark.functions.text import (
+        dup_ngram_char_ratio,
+        dup_word_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("clean", "alpha beta gamma delta"),
+            ("spam", "buy buy buy buy"),
+            ("loop", "a b a b a b"),
+            ("single", "word"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: (r.dw, r.dg)
+        for r in docs.select(
+            "doc_id",
+            F.round(dup_word_ratio(F.col("text")), 6).alias("dw"),
+            F.round(dup_ngram_char_ratio(F.col("text"), 2), 6).alias("dg"),
+        ).collect()
+    }
+    assert rows["clean"] == (0.0, 0.0)
+    # spam: 4 occurrences, 1 distinct -> 0.75; bigrams all 'buy buy' -> 2/3 chars repeated
+    assert rows["spam"] == (0.75, round(1 - 7 / 21, 6))
+    # loop: 6 words, 2 distinct -> 2/3; bigrams {'a b','b a'} 2 distinct of 5
+    assert rows["loop"] == (round(1 - 2 / 6, 6), round(1 - 6 / 15, 6))
+    assert rows["single"] == (0.0, 0.0)
