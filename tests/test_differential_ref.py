@@ -186,7 +186,9 @@ if HAVE_HYPOTHESIS:
         alphabet=st.sampled_from(list("ab 1.5-Totale\xa0[]'é\n")), max_size=10
     )
     _attr = st.sampled_from(
-        ["", ' rowspan="2"', ' colspan="2"', ' rowspan="3" colspan="2"']
+        ["", ' rowspan="2"', ' colspan="2"', ' rowspan="3" colspan="2"',
+         ' colspan="0"', ' colspan="zz"', ' rowspan="1"',
+         ' colspan=" 2 "', " colspan='3'"]
     )
     # anchor flavors: blue link (title attr), red link (class=new), image
     _anchor = st.sampled_from(
@@ -221,7 +223,7 @@ if HAVE_HYPOTHESIS:
         return '<table class="wikitable">' + "".join(rows) + "</table>"
 
     @given(_random_table())
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=120, deadline=None)
     def test_random_tables_match_reference(markup):
         """Property-based differential: ANY generated table on which the
         reference parser completes must produce identical refined headers,
