@@ -85,3 +85,47 @@ def test_unsupported_join_type_raises(spark):
             left, right, point="v", lo="lo", hi="hi",
             bucket_width=50.0, how="right",
         )
+
+
+def test_matches_theta_join_randomized(spark):
+    """Seeded random intervals (including degenerate, overlapping, negative,
+    and bucket-straddling ones) at several bucket widths — inner AND left —
+    against Spark's own theta join as the oracle."""
+    import random
+
+    rng = random.Random(20240816)
+    pts = [(i, round(rng.uniform(-100, 100), 3)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        lo = round(rng.uniform(-120, 120), 3)
+        length = rng.choice([0.0, 0.001, 0.5, 3.7, 25.0, 80.0])
+        ivs.append((j, lo, round(lo + length, 3)))
+    points = spark.createDataFrame(pts, ["pid", "v"])
+    intervals = spark.createDataFrame(ivs, ["iid", "lo", "hi"])
+
+    exact_inner = sorted(
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals, (points.v >= intervals.lo) & (points.v < intervals.hi)
+        ).collect()
+    )
+    matched = {p for p, _ in exact_inner}
+    exact_left = sorted(
+        exact_inner + [(p, None) for p, _ in pts if p not in matched]
+    )
+    for w in (0.9, 10.0, 64.0):
+        got_inner = sorted(
+            (r.pid, r.iid)
+            for r in bucketed_range_join(
+                points, intervals, point="v", lo="lo", hi="hi", bucket_width=w
+            ).collect()
+        )
+        assert got_inner == exact_inner, f"inner bucket_width={w}"
+        got_left = sorted(
+            (r.pid, r.iid)
+            for r in bucketed_range_join(
+                points, intervals, point="v", lo="lo", hi="hi",
+                bucket_width=w, how="left",
+            ).collect()
+        )
+        assert got_left == exact_left, f"left bucket_width={w}"
