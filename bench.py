@@ -137,7 +137,9 @@ def main() -> None:
     heavy_best = None
     for rep in range(reps):
         t0 = time.monotonic()
-        out, _ = extract_pipeline(heavy, num_partitions=4 * CPUS, salt=rep)
+        # 2 tasks/core: measured sweet spot (4x/core pays ~10% per-task
+        # python-worker feed cost; see BENCH.md section 3)
+        out, _ = extract_pipeline(heavy, num_partitions=2 * CPUS, salt=rep)
         out.count()
         dt = time.monotonic() - t0
         heavy_best = dt if heavy_best is None or dt < heavy_best else heavy_best
