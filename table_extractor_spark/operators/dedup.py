@@ -274,6 +274,7 @@ def shingle_sets(
 def near_dup_pipeline(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     perms: int = DEFAULT_PERMS, persist: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup detection with a SHARED scan:
 
@@ -284,7 +285,12 @@ def near_dup_pipeline(
     Without the persists every branch recomputes the md5 shingle work —
     buckets twice (self-join) and shingles twice more (verify join): measured
     ~2x end-to-end at sf0.1, and strictly worse at scale.  Returns
-    (a, b, n_common, n_union, jaccard)."""
+    (a, b, n_common, n_union, jaccard).
+
+    ``max_bucket_size`` caps degenerate LSH buckets (see
+    ``lsh_candidate_pairs``); when set, also count
+    ``lsh_oversized_buckets(buckets, cap)`` into run metrics — never cap
+    silently."""
     sets_ = shingle_sets(df, text_col, id_col)
     if persist:
         sets_ = sets_.persist()
@@ -294,7 +300,7 @@ def near_dup_pipeline(
     buckets = lsh_buckets(sigs, id_col)
     if persist:
         buckets = buckets.persist()
-    pairs = lsh_candidate_pairs(buckets, id_col)
+    pairs = lsh_candidate_pairs(buckets, id_col, max_bucket_size=max_bucket_size)
     with_a = pairs.join(
         sets_.select(F.col(id_col).alias("a"), F.col("hs").alias("sha")), "a"
     )
