@@ -1286,6 +1286,79 @@ def uri_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    oracle="""
+WITH u AS (
+  SELECT p_partkey,
+         'HTTP://Example' || CAST(p_partkey % 7 AS VARCHAR)
+           || '.COM/item/' || replace(p_name, ' ', '-')
+           || CASE WHEN p_partkey % 3 = 0 THEN '/?utm_source=x&id='
+                     || CAST(p_partkey % 50 AS VARCHAR)
+                   WHEN p_partkey % 3 = 1 THEN '?id='
+                     || CAST(p_partkey % 50 AS VARCHAR) || '#frag'
+                   ELSE '/' END AS url
+  FROM part WHERE p_partkey < 400
+), norm AS (
+  SELECT p_partkey,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                  || url[length(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1:],
+                '#.*$', ''),
+              '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\\1'),
+            '\\?&+', '?'),
+          '&&+', '&'),
+        '[?&]$', ''),
+      '(://[^/?#]+/.+?)/(\\?|$)', '\\1\\2') AS canon
+  FROM u
+)
+SELECT canon, COUNT(*) AS n, MIN(p_partkey) AS keeper
+FROM norm GROUP BY canon
+""",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (functions/url.py): lowercase authority,
+    drop fragment + tracking params, strip the redundant trailing slash,
+    then group by the canonical form — the first dedup pass of every web
+    pipeline, all JVM-side; URLs synthesized deterministically from part so
+    the oracle replays the identical rule chain."""
+    from ..functions.url import normalize_url
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    url = F.concat(
+        F.lit("HTTP://Example"),
+        (F.col("p_partkey") % 7).cast("string"),
+        F.lit(".COM/item/"),
+        F.replace("p_name", F.lit(" "), F.lit("-")),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=x&id="),
+                (F.col("p_partkey") % 50).cast("string"),
+            ),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("p_partkey") % 50).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(F.lit("/")),
+    )
+    return (
+        p.select("p_partkey", normalize_url(url).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count("*").alias("n"), F.min("p_partkey").alias("keeper"))
+    )
+
+
+@register(
     "resource_list",
     oracle="""
 WITH u AS (

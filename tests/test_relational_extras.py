@@ -78,3 +78,24 @@ def test_repetition_filters_hand_values(spark):
     # loop: 6 words, 2 distinct -> 2/3; bigrams {'a b','b a'} 2 distinct of 5
     assert rows["loop"] == (round(1 - 2 / 6, 6), round(1 - 6 / 15, 6))
     assert rows["single"] == (0.0, 0.0)
+
+
+def test_normalize_url_hand_cases(spark):
+    from table_extractor_spark.functions.url import normalize_url
+
+    cases = {
+        "HTTP://Example.COM/Path/Page/?utm_source=x&id=3#frag":
+            "http://example.com/Path/Page?id=3",
+        "https://example.com/a/b/": "https://example.com/a/b",
+        "https://example.com/": "https://example.com/",  # root slash kept
+        "https://example.com": "https://example.com",
+        "http://example.com/p?fbclid=abc": "http://example.com/p",
+        "http://example.com/p?id=1&utm_campaign=z&q=2":
+            "http://example.com/p?id=1&q=2",
+        "not a url at all": "not a url at all",  # pass-through, never raise
+        "ftp://Host.Net/File": "ftp://host.net/File",  # path case preserved
+        "https://example.com/p?ref=home&x=1": "https://example.com/p?x=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {r.u: r.n for r in df.select("u", normalize_url(F.col("u")).alias("n")).collect()}
+    assert got == cases
