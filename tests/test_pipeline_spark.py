@@ -131,3 +131,53 @@ def test_out_span_schema(spark):
     parsed = parse_stage(docs)
     assert [f.name for f in parsed.schema.fields][:5] == [
         "doc_id", "kind", "text", "media_ref", "order"]
+
+
+def test_hostile_corpus_never_kills_tasks(spark):
+    """Poison inputs through the FULL Spark pipeline: None text, unknown
+    kinds, duplicate/negative/None offsets, unterminated and hostile-colspan
+    markup, binary junk — the job must complete, count every doc's metrics
+    row, and extract the one clean table."""
+    from pyspark.sql import functions as F
+    from table_extractor_spark.plans.extract import extract_pipeline
+
+    W = '<table class="wikitable">'
+    clean = (W + "<tr><th>A</th></tr><tr><td>1</td></tr><tr><td>2</td></tr>"
+             "</table>")
+    rows = [
+        ("ok", [("heading", "Sec", "", 0), ("text", clean, "", 1)]),
+        ("none_text", [("text", None, None, 0)]),
+        ("bad_kind", [("blob", "x", "", 0)]),
+        ("dup_offsets", [("text", clean, "", 5), ("heading", "S", "", 5)]),
+        ("neg_offset", [("text", clean, "", -3)]),
+        ("unterminated", [("text", W + "<tr><td>x", "", 0)]),
+        ("huge_colspan", [
+            ("text", W + '<tr><th colspan="999999">H</th></tr>'
+             "<tr><td>1</td></tr></table>", "", 0)]),
+        ("colspan_zz", [
+            ("text", W + '<tr><th colspan="zz">H</th></tr>'
+             "<tr><td>1</td></tr><tr><td>2</td></tr></table>", "", 0)]),
+        ("binary_junk", [("text", "\x00\xff<table junk \ud800".encode(
+            "utf-8", "surrogatepass").decode("utf-8", "replace"), "", 0)]),
+    ]
+    docs = spark.createDataFrame(
+        [(d, [{"kind": k, "text": t, "media_ref": r, "offset": o}
+              for k, t, r, o in spans])
+         for d, spans in rows],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    out, metrics = extract_pipeline(docs, num_partitions=4)
+    out_rows = out.collect()
+    m = {r.doc_id: r for r in metrics.collect()}
+    # table-bearing docs get a metrics row; poison never kills the job
+    assert set(m) >= {"ok", "dup_offsets", "neg_offset", "huge_colspan",
+                      "colspan_zz"}
+    assert m["ok"].rows_extracted == 2
+    assert m["colspan_zz"].kernel_errors == 1
+    ok_spans = sorted((r.kind, r.text) for r in out_rows if r.doc_id == "ok")
+    # numeric cells render via the py2 float path ('1' -> '1.0'), as pinned
+    # by the golden fixtures
+    assert ("header", "A") in ok_spans and ("cell", "1.0") in ok_spans
+    # huge colspan clamped (10k), not exploded to a gigarow
+    assert len([r for r in out_rows if r.doc_id == "huge_colspan"]) < 20000

@@ -99,3 +99,16 @@ def test_normalize_url_hand_cases(spark):
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {r.u: r.n for r in df.select("u", normalize_url(F.col("u")).alias("n")).collect()}
     assert got == cases
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """approx_count_distinct (HLL++, mergeable — the distributed
+    cardinality path) must land within its rsd contract of the exact
+    count; like approx_percentile, its sketch is engine-specific so it is
+    pinned here rather than oracle-hashed."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 3 * 0.02 * row.exact, row
