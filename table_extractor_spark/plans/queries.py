@@ -184,6 +184,13 @@ def _triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
     out, _ = extract_pipeline(docs, num_partitions=32)
+    # emit_triples fans the extraction out into four consumers (tables,
+    # cells, row triples, cell triples); without the persist the kernel
+    # stage re-executes once per consumer (4x MapInArrow in the audit —
+    # scripts/scale_audit.py).  Production writes the parse to a table and
+    # branches from it (write-then-branch); persist is the query-surface
+    # equivalent.
+    out = out.persist()
     rules = spark.createDataFrame(
         [
             ("SECTION_Profile en", "dbo:enProfile"),
@@ -267,6 +274,9 @@ def settings_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
     out, _ = extract_pipeline(docs, num_partitions=32)
+    # table_inventory joins the sections and headers branches of the same
+    # extraction — persist so the kernel stage runs once, not per branch
+    out = out.persist()
     ontology = spark.createDataFrame(
         [("word", "dbo:word"), ("unused", "dbo:unused")], ["label", "property"]
     )

@@ -93,13 +93,18 @@ def test_near_dup_pairs_has_no_cross_product(spark):
 
 
 def test_emit_triples_reification_has_no_rejoin(spark):
-    """A9 reification is a dense_rank on the cells' own doc window — the r01
-    distinct+row_number+re-join version paid 52 Exchanges for this plan;
-    dense_rank brought it to 28.  Budget-pin the win with headroom."""
+    """A9 reification is a dense_rank on the cells' own doc window, and the
+    four consumers of the extraction share ONE persisted kernel stage — the
+    r01 plan paid 52 Exchanges and 4 kernel re-executions; now 5 and 1.
+    Budget-pin both with small headroom."""
+    import re
     from table_extractor_spark.plans import queries as Q
 
     plan = formatted(Q.queries()["emit_triples"](spark, SF))
-    assert plan.count("Exchange") <= 35, plan.count("Exchange")
+    nodes = re.findall(r"^\((\d+)\) ([A-Za-z]+)", plan, re.M)
+    kinds = [k for _, k in nodes]
+    assert kinds.count("Exchange") <= 8, plan
+    assert kinds.count("MapInArrow") == 1, plan
     assert "SortMergeJoin" not in plan
 
 
