@@ -1806,6 +1806,40 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deterministic_split",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {DUCK_HASH.format("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+           AS slot
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN slot < 90 THEN 'train'
+            WHEN slot < 95 THEN 'val' ELSE 'test' END AS split
+FROM s
+""",
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: content-independent hash of
+    the doc id into 100 slots (never rand() — resuming, re-running, or
+    re-partitioning must not move documents between splits; the salt prefix
+    decouples this hash from every other doc_id hash in the pipeline).
+    Zero shuffle — the split is a projection, and a partitionBy('split')
+    write gives downstream jobs split-pruned scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    slot = spark_hash(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
     "token_count",
     oracle="""
 SELECT doc_id,
