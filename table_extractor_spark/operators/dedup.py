@@ -173,6 +173,52 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_candidate_pairs(
+    new_buckets: DataFrame,
+    corpus_buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs for an INCREMENT against a standing corpus index.
+
+    Daily-crawl shape: the corpus' (id, band, bucket) table is persisted once
+    (it is exactly ``lsh_buckets`` output — append each increment's rows
+    after processing); a new batch then only generates pairs INVOLVING a new
+    doc: new x corpus plus new x new — never corpus x corpus, which a full
+    ``lsh_candidate_pairs`` rerun would recompute every day.  Join cost
+    scales with |increment| x bucket occupancy, not |corpus|^2.
+
+    Returns (a, b) with a < b where at least one side is new.  Pass the
+    corpus WITHOUT the increment (the increment is unioned in here); the
+    ``max_bucket_size`` cap applies to the combined bucket sizes, same
+    no-silent-caps contract as ``lsh_candidate_pairs``."""
+    combined = corpus_buckets.select(
+        "band", "bucket", F.col(id_col)
+    ).unionByName(new_buckets.select("band", "bucket", F.col(id_col)))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        combined = (
+            combined.withColumn("__bsize", F.count("*").over(w))
+            .filter(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
+        new_ids = new_buckets.select(F.col(id_col)).distinct()
+        new_side = combined.join(new_ids, on=id_col, how="leftsemi")
+    else:
+        new_side = new_buckets.select("band", "bucket", F.col(id_col))
+    left = new_side.select("band", "bucket", F.col(id_col).alias("__n"))
+    right = combined.select("band", "bucket", F.col(id_col).alias("__c"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("__n") != F.col("__c"))
+        .select(
+            F.least("__n", "__c").alias("a"),
+            F.greatest("__n", "__c").alias("b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_oversized_buckets(
     buckets: DataFrame, max_bucket_size: int
 ) -> DataFrame:

@@ -190,7 +190,10 @@ def ivf_search(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "qv", "qn", "centroid_id")
     )
-    cands = probes.join(assignments, "centroid_id").filter(
+    # broadcast the PROBES (|queries| x nprobe rows — small by construction),
+    # never shuffle the index: the assignments table is the 10^9-vector side
+    # and must stay where it is, list-pruned by the centroid filter
+    cands = F.broadcast(probes).join(assignments, "centroid_id").filter(
         F.col("query_id") != F.col("vid")
     )
     sims = cands.select(

@@ -1520,6 +1520,28 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_incremental_pairs",
+    oracle=_DUCK_SIGS_CTE + """
+SELECT DISTINCT least(l.doc_id, r.doc_id) AS a,
+       greatest(l.doc_id, r.doc_id) AS b
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id <> r.doc_id
+WHERE l.doc_id % 2 = 1
+""",
+)
+def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (daily-crawl shape): candidates for a NEW batch
+    (odd doc ids) against the standing corpus index (even ids) — new x
+    corpus and new x new pairs only, never corpus x corpus, so daily cost
+    scales with the increment rather than re-pairing the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = D.lsh_buckets(D.minhash_signatures(docs))
+    corpus_b = buckets.filter(F.col("doc_id") % 2 == 0)
+    new_b = buckets.filter(F.col("doc_id") % 2 == 1)
+    return D.lsh_incremental_candidate_pairs(new_b, corpus_b)
+
+
+@register(
     "ngram_containment_dedup",
     oracle=_DUCK_SIGS_CTE + """
 , pairs AS (

@@ -78,3 +78,51 @@ def test_cap_does_not_add_extra_shuffle(spark):
     base = n_exchanges(lsh_candidate_pairs(buckets))
     capped = n_exchanges(lsh_candidate_pairs(buckets, max_bucket_size=10))
     assert capped <= base + 1  # at most the window's own exchange, reused
+
+
+def test_incremental_candidates_match_full_rerun(spark):
+    """Incremental candidate generation (new batch vs standing corpus) must
+    equal the full-rerun pairs MINUS the corpus-internal pairs it is designed
+    to skip, and must never emit a corpus-corpus pair."""
+    from table_extractor_spark.operators.dedup import (
+        lsh_incremental_candidate_pairs,
+    )
+
+    docs = _degenerate_corpus(spark)
+    buckets = lsh_buckets(minhash_signatures(docs))
+    # corpus = dup_* docs; increment = uniq_* and near_* docs
+    corpus_b = buckets.filter(buckets.doc_id.startswith("dup_"))
+    new_b = buckets.filter(~buckets.doc_id.startswith("dup_"))
+
+    inc = {(r.a, r.b) for r in
+           lsh_incremental_candidate_pairs(new_b, corpus_b).collect()}
+    full = {(r.a, r.b) for r in lsh_candidate_pairs(buckets).collect()}
+    corpus_only = {
+        (a, b) for a, b in full
+        if a.startswith("dup_") and b.startswith("dup_")
+    }
+    assert inc == full - corpus_only
+    assert ("near_1", "near_2") in inc
+    assert not any(a.startswith("dup_") and b.startswith("dup_")
+                   for a, b in inc)
+
+
+def test_incremental_candidates_respect_bucket_cap(spark):
+    from table_extractor_spark.operators.dedup import (
+        lsh_incremental_candidate_pairs,
+    )
+
+    docs = _degenerate_corpus(spark)
+    buckets = lsh_buckets(minhash_signatures(docs))
+    corpus_b = buckets.filter(buckets.doc_id.startswith("dup_"))
+    new_b = buckets.filter(~buckets.doc_id.startswith("dup_"))
+    # one more dup in the increment joins the 40-doc degenerate bucket ->
+    # capped out entirely; the genuine near-dup pair survives
+    extra = lsh_buckets(minhash_signatures(spark.createDataFrame(
+        [("dup_new", "the same boilerplate text repeated everywhere")],
+        ["doc_id", "text"])))
+    inc = {(r.a, r.b) for r in lsh_incremental_candidate_pairs(
+        new_b.unionByName(extra), corpus_b, max_bucket_size=10
+    ).collect()}
+    assert not any("dup" in a or "dup" in b for a, b in inc), inc
+    assert ("near_1", "near_2") in inc

@@ -218,3 +218,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ivf_probe_broadcasts_probes_not_index(spark):
+    """ivf_search must broadcast the tiny probe set — shuffling the
+    assignments table (the 10^9-vector index) for a sort-merge join was the
+    audit-found scale bug."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["ann_ivf_probed"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
