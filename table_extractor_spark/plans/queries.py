@@ -1862,6 +1862,36 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {DUCK_HASH.format("'sample:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: exactly k docs per language, chosen
+    by deterministic hash order (never rand()/TABLESAMPLE — the sample must
+    not move under re-runs or repartitioning, and hash order is unbiased
+    w.r.t. any data attribute).  One shuffle on the stratum key; for
+    k << stratum size at 10^12 docs, pre-filter with a hash-threshold
+    (keep slot < c*k/stratum_estimate) before the window to avoid sorting
+    whole strata."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
     "token_count",
     oracle="""
 SELECT doc_id,
