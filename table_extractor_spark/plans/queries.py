@@ -1828,6 +1828,73 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS w,
+         string_split(lower(text), ' ') AS lw
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    len(w) AS n_words,
+    CAST(len(list_filter(lw, x -> list_contains(
+        ['the','a','of','and','to','in'], x))) AS DOUBLE) / len(lw)
+      AS stop_ratio,
+    1.0 - CAST(len(list_distinct(lw)) AS DOUBLE) / greatest(len(lw), 1)
+      AS dup_ratio
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+       ROUND(stop_ratio, 6) AS stop_ratio, ROUND(dup_ratio, 6) AS dup_ratio,
+       (n_words BETWEEN 5 AND 100000
+        AND stop_ratio >= 0.01 AND dup_ratio <= 0.5) AS keep
+FROM m
+""",
+)
+def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation decision (C4/Gopher shape): word
+    count band + stopword floor + repetition ceiling, evaluated in ONE
+    projection over one scan — at 100 TB the filter columns ride the same
+    pass that computes them, and the boolean partitions the corpus for a
+    split write.  Thresholds here are demonstrative; the point is the
+    compose-signals-then-decide plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    lw = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(lw)
+    stop_ratio = (
+        F.size(F.filter(lw, lambda w: w.isin(*T.DEFAULT_STOPWORDS))).cast(
+            "double"
+        )
+        / n_words.cast("double")
+    )
+    dup_ratio = (
+        1.0
+        - F.size(F.array_distinct(lw)).cast("double")
+        / F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("__n"),
+        stop_ratio.alias("__s"),
+        dup_ratio.alias("__d"),
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.col("__n").cast("int").alias("n_words"),
+        F.round("__s", 6).alias("stop_ratio"),
+        F.round("__d", 6).alias("dup_ratio"),
+        (
+            F.col("__n").between(5, 100000)
+            & (F.col("__s") >= 0.01)
+            & (F.col("__d") <= 0.5)
+        ).alias("keep"),
+    )
+
+
+@register(
     "deterministic_split",
     oracle=f"""
 WITH s AS (
