@@ -195,6 +195,81 @@ def frame_sample_stub(media: DataFrame, every: int = 4) -> DataFrame:
     )
 
 
+PDF_PREFIX = b"PDF1:"
+PAGE_SCHEMA = (
+    "doc_id string, media_ref string, page_no int, title string, "
+    "body string, n_words int"
+)
+
+
+def parse_pdf_pages(media: DataFrame) -> DataFrame:
+    """PDF/layout parse (north-rule phrase), stubbed codec + real plumbing.
+
+    Real PDF text extraction needs a parser library this container lacks;
+    the fake container ``PDF1:<page>\\x0c<page>...`` (form-feed-separated
+    pages, first line of a page = its heading — the layout heuristic real
+    extractors apply to untagged PDFs) exercises the identical Spark
+    surface: binary in, EXPLODED page rows out of one mapInPandas (a
+    100-page doc becomes 100 rows without a JVM-side explode), malformed
+    blobs dropped with no task failure.  Swap ``_pages_from_payload`` for a
+    pdfminer/pypdf call and nothing else changes."""
+
+    def _pages_from_payload(b: bytes):
+        return bytes(b[len(PDF_PREFIX):]).decode("utf-8", "replace").split("\x0c")
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, refs, nos, titles, bodies, counts = [], [], [], [], [], []
+            for did, ref, c in zip(pdf["doc_id"], pdf["media_ref"], pdf["content"]):
+                if c is None or not bytes(c).startswith(PDF_PREFIX):
+                    continue  # poison blob: skipped, never raises
+                for i, page in enumerate(_pages_from_payload(c)):
+                    lines = page.split("\n")
+                    title = lines[0].strip()
+                    body = "\n".join(lines[1:])
+                    doc_ids.append(did)
+                    refs.append(ref)
+                    nos.append(i)
+                    titles.append(title)
+                    bodies.append(body)
+                    counts.append(sum(1 for w in page.split() if w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "media_ref": refs,
+                    "page_no": nos,
+                    "title": titles,
+                    "body": bodies,
+                    "n_words": counts,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=PAGE_SCHEMA)
+
+
+def synthesize_pdfs(docs: DataFrame) -> DataFrame:
+    """Deterministic fake-PDF table from the documents table, pure SQL (so
+    the DuckDB oracle can rebuild it): two pages per doc, page = heading
+    line + a words line."""
+    words = F.split(F.col("text"), " ")
+    did = F.col("doc_id").cast("string")
+    page1 = F.concat(
+        F.lit("Intro "), did, F.lit("\n"),
+        F.array_join(F.slice(words, 1, 12), " "),
+    )
+    page2 = F.concat(
+        F.lit("Details "), did, F.lit("\n"),
+        F.array_join(F.slice(words, 13, 12), " "),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("pdf://"), did, F.lit("/doc.pdf")).alias("media_ref"),
+        F.concat(
+            F.lit("PDF1:"), page1, F.lit("\x0c"), page2
+        ).cast("binary").alias("content"),
+    )
+
+
 EMBED_DIM = 16
 
 

@@ -1828,6 +1828,58 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_strip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'home login menu' || chr(10)
+           || coalesce(array_to_string((string_split(text, ' '))[1:20], ' '), '')
+           || chr(10) || 'href:a href:b href:c related'
+           || chr(10)
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark's is ''
+           || coalesce(array_to_string((string_split(text, ' '))[21:40], ' '), '')
+           || chr(10) || 'copyright footer' AS page
+  FROM documents
+), b AS (
+  SELECT doc_id, list_filter(
+    string_split(page, chr(10)),
+    blk -> len(string_split(trim(blk), ' ')) >= 5
+       AND CAST(len(list_filter(string_split(trim(blk), ' '),
+                                w -> starts_with(w, 'href:'))) AS DOUBLE)
+           / len(string_split(trim(blk), ' ')) <= 0.5
+  ) AS kept
+  FROM d
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS content,
+       CAST(len(kept) AS INT) AS n_blocks
+FROM b
+""",
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (north-rule 'HTML boilerplate strip'):
+    readability-style block heuristics — too-short blocks (nav, footer) and
+    link-dense blocks (menus) dropped, content blocks kept in order.  Pages
+    synthesized deterministically (two content blocks wrapped in three
+    boilerplate blocks) so the DuckDB oracle replays the identical rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nl = F.lit("\n")
+    page = F.concat(
+        F.lit("home login menu"), nl,
+        F.array_join(F.slice(words, 1, 20), " "), nl,
+        F.lit("href:a href:b href:c related"), nl,
+        F.array_join(F.slice(words, 21, 20), " "), nl,
+        F.lit("copyright footer"),
+    )
+    staged = docs.select("doc_id", T.strip_boilerplate(page).alias("content"))
+    return staged.select(
+        "doc_id",
+        "content",
+        F.size(F.split("content", "\n")).cast("int").alias("n_blocks"),
+    )
+
+
+@register(
     "curation_filter",
     oracle="""
 WITH t AS (
@@ -2084,6 +2136,34 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_stub(M.synthesize_media(docs), every=4).select(
         "doc_id", "n_frames"
     )
+
+
+@register(
+    "pdf_page_extract",
+    oracle="""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 200
+), pages AS (
+  SELECT doc_id, 0 AS page_no, 'Intro ' || doc_id AS title,
+         coalesce(array_to_string(w[1:12], ' '), '') AS body FROM w
+  UNION ALL
+  SELECT doc_id, 1, 'Details ' || doc_id,
+         coalesce(array_to_string(w[13:24], ' '), '') FROM w
+)
+SELECT doc_id, 'pdf://' || doc_id || '/doc.pdf' AS media_ref,
+       CAST(page_no AS INT) AS page_no, title, body,
+       CAST(len(string_split(title || ' ' || body, ' '))
+            - CASE WHEN body = '' THEN 1 ELSE 0 END AS INT) AS n_words
+FROM pages
+""",
+)
+def pdf_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse path (stubbed codec, real plumbing): binary PDF
+    containers -> exploded per-page rows with the first-line-as-heading
+    layout heuristic, one mapInPandas, poison blobs skipped."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.parse_pdf_pages(M.synthesize_pdfs(docs))
 
 
 @register(

@@ -88,3 +88,21 @@ def test_embed_stub_unit_norm_and_poison_blob(spark):
     v = rows["a"]
     assert len(v) == 16
     assert abs(sum(x * x for x in v) - 1.0) < 1e-12
+
+
+def test_pdf_parse_explodes_pages_and_skips_poison(spark):
+    from table_extractor_spark.operators.multimodal import parse_pdf_pages
+
+    media = spark.createDataFrame(
+        [
+            ("a", "pdf://a", bytearray(b"PDF1:Title A\nbody words here\x0cPage Two\nmore text")),
+            ("b", "pdf://b", bytearray(b"NOT_A_PDF")),
+            ("c", "pdf://c", None),
+        ],
+        "doc_id string, media_ref string, content binary",
+    )
+    rows = parse_pdf_pages(media).collect()
+    assert sorted((r.doc_id, r.page_no) for r in rows) == [("a", 0), ("a", 1)]
+    p0 = next(r for r in rows if r.page_no == 0)
+    assert p0.title == "Title A" and p0.body == "body words here"
+    assert p0.n_words == 5
