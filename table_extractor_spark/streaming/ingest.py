@@ -58,20 +58,88 @@ def start_stream_extract(
     return writer.start()
 
 
+def start_stream_extract_with_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    *,
+    num_partitions: Optional[int] = None,
+):
+    """Streaming extraction writing BOTH sinks (spans + per-doc metrics)
+    from ONE parse per micro-batch — the canonical foreachBatch multi-sink
+    pattern.  A second independent writeStream would re-run the kernel per
+    sink; here the batch is persisted, both outputs write, then unpersist.
+
+    Exactly-once note: foreachBatch is at-least-once on retry within a
+    batch; both sinks are parquet appends of the same deterministic batch,
+    so a retried batch rewrites the same rows — readers needing strict
+    exactly-once go through the lineage-gated CheckpointedRun instead."""
+    from pyspark.sql import functions as F
+
+    from ..operators.repartition import salted_repartition
+    from ..plans.extract import (
+        METRIC_FIELDS,
+        OUT_COLUMNS,
+        parse_stage,
+        table_prefilter,
+    )
+
+    docs = stream_docs(spark, input_dir)
+
+    def write_both(batch_df, batch_id: int) -> None:
+        # persist the PARSED frame (the shared upstream of both outputs) —
+        # persisting either branch alone would re-run the kernel for the
+        # other (same write-then-branch rule as streaming/checkpoint.py)
+        filtered = batch_df.filter(table_prefilter())
+        spread = salted_repartition(
+            filtered.select("doc_id", "spans"),
+            num_partitions=num_partitions,
+        )
+        parsed = parse_stage(spread).persist()
+        try:
+            parsed.filter(F.col("kind").isNotNull()).select(
+                *OUT_COLUMNS
+            ).write.mode("append").parquet(output_dir)
+            parsed.filter(F.col("kind").isNull()).select(
+                "doc_id", *METRIC_FIELDS
+            ).write.mode("append").parquet(metrics_dir)
+        finally:
+            parsed.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
     *,
+    metrics_dir: Optional[str] = None,
     num_partitions: Optional[int] = None,
     timeout_sec: int = 600,
 ) -> None:
-    """Process-all-new-then-stop, blocking until drained."""
-    q = start_stream_extract(
-        spark, input_dir, output_dir, checkpoint_dir,
-        num_partitions=num_partitions, available_now=True,
-    )
+    """Process-all-new-then-stop, blocking until drained.
+
+    With ``metrics_dir`` the per-document metrics rows are written too,
+    from the same single parse (foreachBatch two-sink path)."""
+    if metrics_dir is not None:
+        q = start_stream_extract_with_metrics(
+            spark, input_dir, output_dir, metrics_dir, checkpoint_dir,
+            num_partitions=num_partitions,
+        )
+    else:
+        q = start_stream_extract(
+            spark, input_dir, output_dir, checkpoint_dir,
+            num_partitions=num_partitions, available_now=True,
+        )
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - defensive
         q.stop()

@@ -49,3 +49,25 @@ def test_available_now_incremental_exactly_once(spark, tmp_path):
     # a third drain with nothing new is a no-op (no duplicated rows)
     run_available_now(spark, inp, out, ckpt, num_partitions=4)
     assert spark.read.parquet(out).count() == sum(len(v) for v in got.values())
+
+
+def test_available_now_with_metrics_single_parse(spark, tmp_path):
+    """foreachBatch two-sink path: spans AND per-doc metrics from one parse
+    per micro-batch; metrics totals equal the batch pipeline's."""
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = fixture_corpus_df(spark, copies=2)
+    docs.write.parquet(inp)
+    run_available_now(spark, inp, out, ckpt, metrics_dir=met, num_partitions=4)
+
+    got_spans = spans_by_doc(spark.read.parquet(out))
+    exp_out, exp_metrics = extract_pipeline(docs, num_partitions=4)
+    assert got_spans == spans_by_doc(exp_out)
+
+    got_m = spark.read.parquet(met)
+    exp_rows = {r.doc_id: r.rows_extracted for r in exp_metrics.collect()}
+    got_rows = {r.doc_id: r.rows_extracted for r in got_m.collect()}
+    assert got_rows == exp_rows
