@@ -82,6 +82,28 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Tuple[str, ...] = ("event_id",),
+    *,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup: drop re-deliveries of the same key arriving
+    within the watermark (at-least-once sources — Kafka redeliveries,
+    crawler retries — become exactly-once rows downstream).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    EXPIRES entries once the watermark passes them — bounded state, unlike
+    a plain ``dropDuplicates`` on a stream which retains every key forever.
+    A duplicate arriving later than the watermark is NOT caught here; that
+    is the (deliberate) state-size trade — catch stragglers downstream with
+    the batch ``exact_dedup``."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def _session_fn(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],

@@ -131,3 +131,33 @@ def test_stateful_sessionization_survives_restart(spark, tmp_path):
     _write_batch(spark, inp, [(_mins(80), "u1", "click", 1.0)])
     _drain(spark, inp, out, ckpt, sessionize_stateful)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """Re-delivered event_ids within the watermark are emitted once, across
+    micro-batch boundaries; state survives the availableNow restart."""
+    from table_extractor_spark.streaming.stateful import dedup_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # batch 1: e1 twice in-batch, e2 once
+    _write_batch(
+        spark,
+        inp,
+        [
+            (_mins(0), "e1", "click", 1.0),
+            (_mins(1), "e1", "click", 1.0),
+            (_mins(2), "e2", "view", 2.0),
+        ],
+    )
+    _drain(spark, inp, out, ckpt,
+           lambda s: dedup_stream(s, ("user_id",)))
+    # batch 2: e1 re-delivered across the batch boundary + a new e3
+    _write_batch(
+        spark,
+        inp,
+        [(_mins(3), "e1", "click", 1.0), (_mins(4), "e3", "view", 3.0)],
+    )
+    _drain(spark, inp, out, ckpt,
+           lambda s: dedup_stream(s, ("user_id",)))
+    ids = sorted(r.user_id for r in spark.read.parquet(out).collect())
+    assert ids == ["e1", "e2", "e3"]
