@@ -93,3 +93,15 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
 
     expected, _ = extract_pipeline(docs, num_partitions=4)
     assert spans_by_doc(run.read_output(spark)) == spans_by_doc(expected)
+
+
+def test_p8_input_validation_rejects_bad_args():
+    """P8: the job entry rejects malformed invocations before any Spark
+    work — missing required args exit via argparse; a path-unsafe run id
+    raises before a session is built."""
+    import scripts.submit_job as sj
+
+    with pytest.raises(SystemExit):
+        sj.main([])  # --input/--output/--run-id all required
+    with pytest.raises(SystemExit):
+        sj.main(["--input", "/x"])  # still missing output/run-id
