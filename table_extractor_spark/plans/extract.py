@@ -22,7 +22,7 @@ per document (kind IS NULL) instead of a second parse or a struct column.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame, functions as F
