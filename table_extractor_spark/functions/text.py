@@ -46,6 +46,32 @@ def mean_word_len(text_col) -> F.Column:
     return total.cast("double") / F.size(ws).cast("double")
 
 
+# PII patterns shared verbatim with the SQL oracle (Java regex / RE2 common
+# subset: no backrefs, no lookaround)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def redact_pii(text_col) -> F.Column:
+    """Training-data PII scrub: emails, IPv4 addresses, and phone-shaped
+    number runs replaced with typed placeholder tokens (<EMAIL>/<IP>/<PHONE>
+    — models learn the category, not the identifier).  Order matters: emails
+    first (an email is never a phone), IPs before phones (dotted quads
+    contain phone-length digit runs).  Pure JVM regexp chain; patterns in
+    the RE2-compatible subset so the oracle replays them exactly.
+
+    Scope note: this is the pattern layer every pipeline runs FIRST; names
+    and addresses need NER models and belong in a model-scoring stage like
+    the embedding stub, not in regex."""
+    out = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
 def strip_boilerplate(
     text_col,
     block_sep: str = "\n",

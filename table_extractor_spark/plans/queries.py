@@ -505,6 +505,33 @@ def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_rollup_daily",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS bucket_start_us,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def time_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate rollup view (operators/rollup_maintenance)
+    computed in batch; the incremental-merge path (N increments == full
+    recompute, untouched partitions byte-stable) is pinned in
+    tests/test_rollup_maintenance.py."""
+    from ..operators.rollup_maintenance import rollup_increment
+
+    ev = load_table(spark, sf_dir, "events")
+    r = rollup_increment(ev, "1 day")
+    return r.select(
+        "bucket_start_us",
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "resource_count",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
 )
@@ -1877,6 +1904,46 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
         F.size(F.split("content", "\n")).cast("int").alias("n_blocks"),
     )
+
+
+def _pii_oracle_sql() -> str:
+    from ..functions.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example.org at 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+           || ' or +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR)
+           || '-2345 re: ' || text AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IPV4_RE}', '<IP>', 'g'),
+    '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM d
+"""
+
+
+@register("pii_redaction", oracle=_pii_oracle_sql())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii): emails -> <EMAIL>, IPv4 ->
+    <IP>, phone-shaped runs -> <PHONE>, on text salted with synthetic PII
+    so every rule fires; the oracle replays the identical patterns."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("contact user"), did, F.lit("@mail.example.org at 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(" or +1 (555) 01"),
+        (F.col("doc_id") % 10).cast("string"), F.lit("-2345 re: "),
+        F.col("text"),
+    )
+    return docs.select("doc_id", T.redact_pii(t).alias("redacted"))
 
 
 @register(

@@ -112,3 +112,21 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 3 * 0.02 * row.exact, row
+
+
+def test_redact_pii_hand_cases(spark):
+    from table_extractor_spark.functions.text import redact_pii
+
+    cases = {
+        "mail bob.smith+x@sub.example.co.uk now":
+            "mail <EMAIL> now",
+        "server at 192.168.001.1 and 8.8.8.8":
+            "server at 192.168.001.1 and <IP>",  # 001 octet: not valid IPv4
+        "call +1 (555) 010-2345 today": "call <PHONE> today",
+        "year 2024 price 10.99 ok": "year 2024 price 10.99 ok",  # no false hits
+        "a@b.io vs 10.0.0.1": "<EMAIL> vs <IP>",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], ["t"])
+    got = {r.t: r.red for r in df.select(
+        "t", redact_pii(F.col("t")).alias("red")).collect()}
+    assert got == cases
