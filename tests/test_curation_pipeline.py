@@ -1,0 +1,67 @@
+"""End-to-end curation pipeline: every stage observable on a constructed
+corpus — gates drop chrome, PII twins collapse in exact dedup, near-dups
+collapse in LSH dedup, split assignments are stable across re-runs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from table_extractor_spark.plans.curation import curate, write_curated
+
+GOOD = ("the quick brown fox jumps over a lazy dog and runs off to the "
+        "river in the morning light with a happy ")
+
+
+def _corpus(spark):
+    def good_doc(i):
+        # genuinely distinct docs (every content word carries the index) so
+        # the near-dup stage must NOT collapse them
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        return f"the {body} of a doc{i} and some {i} to go in the end"
+
+    rows = [
+        *[(f"good_{i}", good_doc(i)) for i in range(8)],
+        ("short", "too short"),
+        ("linky", "x! y? z. !!! ??? ..."),  # no stopwords
+        ("spammy", "buy " * 40),  # dup_word_ratio ~ 1
+        # PII twins: identical after redaction
+        ("pii_a", GOOD + "contact alice@example.com now for the offer"),
+        ("pii_b", GOOD + "contact bob@other.org now for the offer"),
+        # near-dup of good_0 (last word changed)
+        ("near_0", good_doc(0)[:-3] + "new"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_curate_stages_all_fire(spark):
+    out = curate(_corpus(spark), near_dup_jaccard=0.7)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # gates dropped the chrome
+    assert {"short", "linky", "spammy"} & kept == set()
+    # PII twins collapsed to the smaller id
+    assert "pii_a" in kept and "pii_b" not in kept
+    # near-dup collapsed to the smaller id
+    assert "good_0" in kept and "near_0" not in kept
+    # the other good docs survived
+    assert {f"good_{i}" for i in range(8)} <= kept
+    # redaction applied to the surviving text
+    pii_text = out.filter(F.col("doc_id") == "pii_a").collect()[0].text
+    assert "<EMAIL>" in pii_text and "alice" not in pii_text
+
+
+def test_curate_split_stable_across_runs(spark):
+    a = {(r.doc_id, r.split) for r in curate(_corpus(spark)).collect()}
+    b = {(r.doc_id, r.split) for r in
+         curate(_corpus(spark).repartition(7)).collect()}
+    assert a == b  # content- and partitioning-independent
+
+
+def test_write_curated_partitions_by_split(spark, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    write_curated(curate(_corpus(spark)), out_dir)
+    parts = {d for d in os.listdir(out_dir) if d.startswith("split=")}
+    assert parts  # at least one split dir materialized
+    back = spark.read.parquet(out_dir)
+    assert back.count() == curate(_corpus(spark)).count()
