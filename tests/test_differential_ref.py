@@ -223,7 +223,7 @@ if HAVE_HYPOTHESIS:
         return '<table class="wikitable">' + "".join(rows) + "</table>"
 
     @given(_random_table())
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=250, deadline=None)
     def test_random_tables_match_reference(markup):
         """Property-based differential: ANY generated table on which the
         reference parser completes must produce identical refined headers,
