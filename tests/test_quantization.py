@@ -1,0 +1,72 @@
+"""PQ: codes compress, ADC search recalls, training improves quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from table_extractor_spark.operators.quantization import (
+    pq_encode,
+    pq_search,
+    pq_train,
+)
+from tests.test_similarity_ann import _clustered_corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pq_codes_shape_and_compression(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    cb = pq_train(emb, m=8, k=16, kmeans_iters=1)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb, m=8)
+    rows = codes.collect()
+    assert len(rows) == 100
+    # 64 floats -> 8 small ints per vector; every code within [0, k)
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+
+def test_pq_adc_respects_cluster_structure(spark):
+    """On well-separated clusters, same-cluster points quantize to (nearly)
+    identical codes, so ADC distances within the true cluster are minimal —
+    every returned neighbor must come from the query's own cluster.  (Exact
+    top-3 recall is NOT the right yardstick here: within a cluster the ADC
+    distances tie at ~0 by construction — quantization deliberately erases
+    the intra-cell resolution the exact ranking uses.)"""
+    emb = _clustered_corpus(spark)  # 8 well-separated clusters of 40, 16d
+    queries = emb.filter(F.col("vec_id") % 40 < 2)
+
+    cb = pq_train(emb, m=4, k=16, kmeans_iters=3)
+    codes = pq_encode(emb, cb, m=4)
+    got = pq_search(codes, cb, queries, topk=3, m=4).collect()
+    assert len(got) == 16 * 3  # 2 queries x 8 clusters, 3 neighbors each
+    for r in got:
+        assert r.query_id // 40 == r.neighbor_id // 40, (
+            f"neighbor from wrong cluster: {r}"
+        )
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd rounds must reduce total quantization error (sum of L2^2 from
+    each subvector to its centroid) vs the lowest-id seeding."""
+    from table_extractor_spark.operators.quantization import _l2sq, _subvecs
+
+    emb = _clustered_corpus(spark)
+
+    def qerr(iters):
+        cb = pq_train(emb, m=4, k=8, kmeans_iters=iters)
+        sub = _subvecs(emb, 4, "vec_id", "embedding")
+        d = (
+            sub.join(F.broadcast(cb), "subspace")
+            .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
+            .groupBy("vid", "subspace")
+            .agg(F.min("d").alias("dmin"))
+            .agg(F.sum("dmin"))
+            .collect()[0][0]
+        )
+        return d
+
+    e0, e3 = qerr(0), qerr(3)
+    assert e3 < e0 * 0.8, (e0, e3)
