@@ -2115,6 +2115,26 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_search(centroids, assignments, queries_df, k=3, nprobe=4)
 
 
+# rows-only: IVF-PQ composition — coarse probe prunes to the nearest
+# centroid lists, ADC scores only those candidates against PQ codes; the
+# memory-layer behavior is pinned in tests/test_quantization.py
+@register("ann_ivf_pq", oracle=None)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import pq_encode, pq_search, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = S.ivf_index(emb, n_centroids=16, kmeans_iters=2)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    # coarse probe: candidate vids from the queries' nearest nprobe lists
+    probed = S.ivf_search(
+        centroids, assignments, queries_df, k=1_000_000, nprobe=4
+    ).select("query_id", F.col("neighbor_id").alias("vid"))
+    cand_ids = probed.select("vid").distinct()
+    cb = pq_train(emb, m=8, k=16, kmeans_iters=2)
+    codes = pq_encode(emb, cb, m=8).join(cand_ids, "vid", "leftsemi")
+    return pq_search(codes, cb, queries_df, topk=3, m=8)
+
+
 # ===========================================================================
 # D. multimodal columns (binary blobs + typed metadata; decode stubbed with a
 #    deterministic fake container, Spark plumbing real — operators/multimodal)
