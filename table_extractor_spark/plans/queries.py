@@ -532,6 +532,31 @@ def time_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters",
+    oracle="""
+SELECT user_id, n, CAST(rk AS INT) AS rk FROM (
+  SELECT user_id, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 10
+""",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (hot keys — the skew-detection input): one
+    partial-aggregated groupBy then a top-10.  The mergeable-sketch variant
+    (count_min_sketch, for when even the per-key agg is too wide) is
+    error-bound-pinned in pytest — its binary is engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@register(
     "resource_count",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
 )

@@ -130,3 +130,27 @@ def test_redact_pii_hand_cases(spark):
     got = {r.t: r.red for r in df.select(
         "t", redact_pii(F.col("t")).alias("red")).collect()}
     assert got == cases
+
+
+def test_count_min_sketch_heavy_hitter_bound(spark):
+    """count_min_sketch (mergeable, fixed memory — the sketch path when the
+    exact per-key agg is too wide): estimates never undercount and stay
+    within eps*N of exact for the top keys."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = ev.agg(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
+    ).collect()[0].sk
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    # query the sketch via the JVM reader (no SQL estimator fn in this build)
+    jvm = ev.sparkSession._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    for uid, n in sorted(exact.items(), key=lambda kv: -kv[1])[:10]:
+        est = cms.estimateCount(uid)
+        assert est >= n  # CMS never undercounts
+        assert est - n <= 0.001 * n_total + 1
