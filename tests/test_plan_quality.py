@@ -228,3 +228,18 @@ def test_ivf_probe_broadcasts_probes_not_index(spark):
 
     plan = formatted(Q.queries()["ann_ivf_probed"](spark, SF))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_plans_use_partial_limits(spark):
+    """Top-k shapes must let Catalyst push the limit below the shuffle:
+    per-group top-k gets WindowGroupLimit (each map task forwards only its
+    local top-k per group), global top-k gets TakeOrderedAndProject (no full
+    sort) — at 10^12 rows these are the difference between shuffling k rows
+    per group and shuffling everything."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["top_k_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    for name in ("heavy_hitters", "q3_shipping_priority"):
+        plan = formatted(Q.queries()[name](spark, SF))
+        assert "TakeOrdered" in plan, (name, plan)
