@@ -224,3 +224,31 @@ def ttl_lines(triples: DataFrame, base_uri: str = "http://dbpedia.org/resource/"
             " ", uri(F.col("subject")), uri(F.col("predicate")), obj, F.lit(".")
         ).alias("line"),
     )
+
+
+def write_ttl(
+    triples: DataFrame,
+    path: str,
+    base_uri: str = "http://dbpedia.org/resource/",
+    partitions: int | None = None,
+) -> None:
+    """S5 sink with GLOBAL (doc_id, t_order) order across the output files.
+
+    ``repartitionByRange`` + ``sortWithinPartitions``: file i's lines all
+    precede file i+1's, and lines are sorted inside each file — the
+    distributed equivalent of the reference's single ordered .ttl
+    (Analyzer.py:198-245) without the single-partition ``orderBy`` sink
+    that would funnel 10^12 rows through one task.  Range boundaries come
+    from Spark's reservoir sample of the sort keys, so skew in doc sizes
+    balances across files."""
+    lines = ttl_lines(triples, base_uri)
+    if partitions is not None:
+        ranged = lines.repartitionByRange(partitions, "doc_id", "t_order")
+    else:
+        ranged = lines.repartitionByRange("doc_id", "t_order")
+    (
+        ranged.sortWithinPartitions("doc_id", "t_order")
+        .select("line")
+        .write.mode("overwrite")
+        .text(path)
+    )

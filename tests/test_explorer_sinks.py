@@ -75,3 +75,35 @@ def test_resource_list_write_smoke(spark, tmp_path):
             with open(os.path.join(path, name)) as fh:
                 got.update(line.strip() for line in fh if line.strip())
     assert got == {"Barack_Obama", "Pel%C3%A9"}
+
+
+def test_write_ttl_globally_ordered(spark, tmp_path):
+    """Range-partitioned TTL sink: concatenating part files in name order
+    yields the exact (doc_id, t_order) global order with no single-task
+    sort (plan shows RangePartitioning, not a 1-partition Exchange)."""
+    from table_extractor_spark.plans.triples import ttl_lines, write_ttl
+
+    rows = [
+        (f"doc_{i:03d}", f"doc_{i:03d}", "dbo:p", f"v{j}", "string",
+         j * 1000)
+        for i in range(30)
+        for j in range(5)
+    ]
+    t = spark.createDataFrame(
+        rows, ["doc_id", "subject", "predicate", "object", "object_kind",
+               "t_order"])
+    path = str(tmp_path / "ttl")
+    write_ttl(t, path, partitions=4)
+
+    import os
+    parts = sorted(p for p in os.listdir(path) if p.startswith("part-"))
+    assert len(parts) >= 2  # genuinely distributed output
+    concat = []
+    for p in parts:
+        with open(os.path.join(path, p)) as fh:
+            concat.extend(line.rstrip("\n") for line in fh)
+    expected = [
+        r.line
+        for r in ttl_lines(t).orderBy("doc_id", "t_order").collect()
+    ]
+    assert concat == expected
