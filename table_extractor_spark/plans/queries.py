@@ -532,6 +532,64 @@ def time_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_reconciliation",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total
+  FROM orders WHERE o_orderkey < 2000
+), l AS (
+  SELECT l_orderkey AS k,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS line_sum
+  FROM lineitem WHERE l_orderkey < 1500 GROUP BY l_orderkey
+)
+SELECT coalesce(o.k, l.k) AS orderkey, o.total, l.line_sum,
+       CASE WHEN o.k IS NULL THEN 'lines_without_order'
+            WHEN l.k IS NULL THEN 'order_without_lines'
+            ELSE 'both' END AS status
+FROM o FULL OUTER JOIN l ON o.k = l.k
+""",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source reconciliation (the warehouse orphan audit): FULL OUTER join
+    of two feeds with asymmetric slices, classifying every key as matched
+    or orphaned on either side.  Full outer cannot broadcast — it plans as
+    a sort-merge join on the key, which is the right shape here."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1500)
+        .groupBy(F.col("l_orderkey").alias("lk"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("line_sum")
+        )
+    )
+    j = o.join(li, o.ok == li.lk, "full_outer")
+    return j.select(
+        F.coalesce("ok", "lk").alias("orderkey"),
+        "total",
+        "line_sum",
+        F.when(F.col("ok").isNull(), "lines_without_order")
+        .when(F.col("lk").isNull(), "order_without_lines")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+@register(
     "heavy_hitters",
     oracle="""
 SELECT user_id, n, CAST(rk AS INT) AS rk FROM (
