@@ -72,10 +72,12 @@ def start_stream_extract_with_metrics(
     pattern.  A second independent writeStream would re-run the kernel per
     sink; here the batch is persisted, both outputs write, then unpersist.
 
-    Exactly-once note: foreachBatch is at-least-once on retry within a
-    batch; both sinks are parquet appends of the same deterministic batch,
-    so a retried batch rewrites the same rows — readers needing strict
-    exactly-once go through the lineage-gated CheckpointedRun instead."""
+    Exactly-once: foreachBatch is only at-least-once on retry, so each sink
+    is PARTITIONED BY the micro-batch id and written with dynamic partition
+    OVERWRITE — a retried batch replaces its own ``batch_id=`` partition
+    instead of appending a duplicate (the standard idempotent-foreachBatch
+    recipe).  Readers just read the directory; ``batch_id`` rides along as
+    provenance."""
     from pyspark.sql import functions as F
 
     from ..operators.repartition import salted_repartition
@@ -97,15 +99,29 @@ def start_stream_extract_with_metrics(
             filtered.select("doc_id", "spans"),
             num_partitions=num_partitions,
         )
-        parsed = parse_stage(spread).persist()
+        parsed = parse_stage(spread).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).persist()
+        spark_ = parsed.sparkSession
+        prev = spark_.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             parsed.filter(F.col("kind").isNotNull()).select(
-                *OUT_COLUMNS
-            ).write.mode("append").parquet(output_dir)
+                *OUT_COLUMNS, "batch_id"
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                output_dir
+            )
             parsed.filter(F.col("kind").isNull()).select(
-                "doc_id", *METRIC_FIELDS
-            ).write.mode("append").parquet(metrics_dir)
+                "doc_id", *METRIC_FIELDS, "batch_id"
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                metrics_dir
+            )
         finally:
+            spark_.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
             parsed.unpersist()
 
     return (

@@ -71,3 +71,46 @@ def test_available_now_with_metrics_single_parse(spark, tmp_path):
     exp_rows = {r.doc_id: r.rows_extracted for r in exp_metrics.collect()}
     got_rows = {r.doc_id: r.rows_extracted for r in got_m.collect()}
     assert got_rows == exp_rows
+
+
+def test_two_sink_retry_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id) must REPLACE its own partition,
+    not append a duplicate — simulated by invoking the per-batch writer
+    twice with the same id."""
+    from table_extractor_spark.streaming import ingest as I
+    from pyspark.sql import functions as F
+    from table_extractor_spark.operators.repartition import salted_repartition
+    from table_extractor_spark.plans.extract import (
+        METRIC_FIELDS, OUT_COLUMNS, parse_stage, table_prefilter)
+
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "met")
+    docs = fixture_corpus_df(spark, copies=1)
+
+    def write_both(batch_df, batch_id):
+        # mirror of the ingest writer (module-internal closure, so re-build)
+        filtered = batch_df.filter(table_prefilter())
+        spread = salted_repartition(filtered.select("doc_id", "spans"),
+                                    num_partitions=4)
+        parsed = parse_stage(spread).withColumn(
+            "batch_id", F.lit(int(batch_id))).persist()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            parsed.filter(F.col("kind").isNotNull()).select(
+                *OUT_COLUMNS, "batch_id").write.mode("overwrite").partitionBy(
+                "batch_id").parquet(out)
+            parsed.filter(F.col("kind").isNull()).select(
+                "doc_id", *METRIC_FIELDS, "batch_id").write.mode(
+                "overwrite").partitionBy("batch_id").parquet(met)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            parsed.unpersist()
+
+    write_both(docs, 0)
+    n1 = spark.read.parquet(out).count()
+    write_both(docs, 0)  # "retry"
+    assert spark.read.parquet(out).count() == n1
+    write_both(docs, 1)  # a genuinely new batch appends its own partition
+    assert spark.read.parquet(out).count() == 2 * n1
