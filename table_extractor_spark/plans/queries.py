@@ -97,6 +97,44 @@ def extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_media_linkage",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Idx', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Word', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w' || CAST(i AS VARCHAR), '',
+         3 + 3 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1],
+         'img://' || doc_id || '/r' || CAST(i AS VARCHAR) || '.jpg',
+         4 + 3 * i FROM d, g
+  UNION ALL SELECT doc_id, 'media', '',
+         'img://' || doc_id || '/r' || CAST(i AS VARCHAR) || '.jpg',
+         5 + 3 * i FROM d, g
+)
+""",
+)
+def extract_media_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north star's media linkage, oracle-checked end to end: every word
+    cell embeds an image anchor; the kernel must attach the href as the
+    cell's media_ref AND emit the trailing 'media' span — the DuckDB oracle
+    recomputes the exact (kind, text, media_ref, order) sequence."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, media_anchors=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

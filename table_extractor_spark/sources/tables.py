@@ -42,7 +42,7 @@ def fixture_corpus_df(spark: SparkSession, copies: int = 1) -> DataFrame:
 
 def synthesize_docs_from_testdata(
     spark: SparkSession, sf_dir: str, limit: Optional[int] = None,
-    table_rows: int = 6,
+    table_rows: int = 6, media_anchors: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -66,27 +66,53 @@ def synthesize_docs_from_testdata(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if limit:
         docs = docs.orderBy("doc_id").limit(limit)
+    # staged under a NON-conflicting name: the final select aliases the
+    # string id AS doc_id, and column references inside higher-order-function
+    # lambdas resolve against that lateral alias instead of the child's
+    # numeric doc_id (measured: media hrefs came out 'doc_doc_0')
+    docs = docs.withColumn(
+        "__did", F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    )
     base_words = F.split(F.col("text"), " ")
     repeats = table_rows // 10 + 2  # docs have >=10 words at every SF
     words = F.slice(
         F.flatten(F.array_repeat(base_words, repeats)), 1, table_rows
     )
-    row_markup = F.concat_ws(
-        "",
-        F.transform(
-            words,
-            lambda w, i: F.concat(
-                F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
-                w, F.lit("</td></tr>"),
+    did_expr = F.col("__did")
+    if media_anchors:
+        # every word cell carries an image anchor (class='image', media
+        # href): the reference's embedded-image case — the anchor itself
+        # contributes no text value, the href becomes the cell's media_ref
+        # plus a trailing 'media' span (kernel/document.py emission)
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
+                    F.lit('<a href="img://'), did_expr, F.lit("/r"),
+                    i.cast("string"), F.lit('.jpg" class="image"></a>'),
+                    w, F.lit("</td></tr>"),
+                ),
             ),
-        ),
-    )
+        )
+    else:
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
+                    w, F.lit("</td></tr>"),
+                ),
+            ),
+        )
     table_markup = F.concat(
         F.lit('<table class="wikitable"><tr><th>Idx</th><th>Word</th></tr>'),
         row_markup,
         F.lit("</table>"),
     )
-    did = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    did = F.col("__did")
     return docs.select(
         did.alias("doc_id"),
         F.array(
