@@ -259,6 +259,60 @@ def emit_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emit_triples_media",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang
+  FROM documents WHERE lang <> 'zh' AND doc_id < 300
+), g AS (SELECT i FROM generate_series(1, 6) t(i)),
+base AS (SELECT d.doc_id, d.lang, g.i FROM d, g)
+SELECT doc_id, subject, predicate, object, object_kind, t_order FROM (
+  SELECT doc_id, doc_id AS subject,
+         'dbo:' || lang || 'Profile' AS predicate,
+         doc_id || '__' || CAST(i AS VARCHAR) AS object,
+         'resource' AS object_kind, i * 1000 AS t_order FROM base
+  UNION ALL
+  SELECT doc_id, doc_id || '__' || CAST(i AS VARCHAR), 'dbo:idx',
+         'w' || CAST(i - 1 AS VARCHAR), 'string', i * 1000 + 1 FROM base
+  UNION ALL
+  -- the media-anchored word cell: object = the image href, kind 'uri'
+  SELECT doc_id, doc_id || '__' || CAST(i AS VARCHAR),
+         CASE WHEN lang = 'en' THEN 'dbo:word_en' ELSE 'dbo:word' END,
+         'img://' || doc_id || '/r' || CAST(i - 1 AS VARCHAR) || '.jpg',
+         'uri', i * 1000 + 2 FROM base
+)
+""",
+)
+def emit_triples_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mapper's media path oracle-checked: a cell whose value carries a
+    media link emits its triple with the HREF as the object and
+    object_kind='uri' (the reference's image-anchor handling,
+    HtmlTableParser.py:674-714 + Mapper object typing) — previously this
+    branch was only golden-pinned."""
+    from .extract import extract_pipeline
+    from .triples import emit_triples
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, media_anchors=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    out = out.persist()
+    rules = spark.createDataFrame(
+        [
+            ("SECTION_Profile en", "dbo:enProfile"),
+            ("SECTION_Profile de", "dbo:deProfile"),
+            ("SECTION_Profile es", "dbo:esProfile"),
+            ("SECTION_Profile fr", "dbo:frProfile"),
+            ("Profile en_Word", "dbo:word_en"),
+            ("Word", "dbo:word"),
+            ("Idx", "dbo:idx"),
+        ],
+        ["key", "property"],
+    )
+    return emit_triples(out, rules)
+
+
+@register(
     "ttl_lines",
     oracle=_DUCK_TRIPLES_CTE
     + """
