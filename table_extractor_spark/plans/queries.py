@@ -313,6 +313,37 @@ def emit_triples_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ttl_lines_media",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang
+  FROM documents WHERE lang <> 'zh' AND doc_id < 300
+), g AS (SELECT i FROM generate_series(1, 6) t(i)),
+base AS (SELECT d.doc_id, d.lang, g.i FROM d, g)
+SELECT doc_id, i * 1000 + 2 AS t_order,
+       '<http://dbpedia.org/resource/' || doc_id || '__'
+         || CAST(i AS VARCHAR) || '> '
+       || '<http://dbpedia.org/resource/'
+         || CASE WHEN lang = 'en' THEN 'dbo:word_en' ELSE 'dbo:word' END
+         || '> '
+       || '<img://' || doc_id || '/r' || CAST(i - 1 AS VARCHAR) || '.jpg>'
+       || ' .' AS line
+FROM base
+""",
+)
+def ttl_lines_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5's <uri> object serialization oracle-checked: media-valued cells
+    must come out as bare IRI terms, not quoted literals (rdflib URIRef
+    behavior, Analyzer.py:198-245)."""
+    from .triples import ttl_lines
+
+    triples = emit_triples_media(spark, sf_dir).filter(
+        F.col("object_kind") == "uri"
+    )
+    return ttl_lines(triples)
+
+
+@register(
     "ttl_lines",
     oracle=_DUCK_TRIPLES_CTE
     + """
