@@ -135,6 +135,43 @@ def extract_media_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_link_spans",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Idx', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Word', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w' || CAST(i AS VARCHAR), '',
+         3 + 3 * i FROM d, g
+  UNION ALL SELECT doc_id, 'link',
+         'lnk_' || doc_id || '_r' || CAST(i AS VARCHAR), '',
+         4 + 3 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1], '', 5 + 3 * i FROM d, g
+)
+""",
+)
+def extract_link_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blue-link cells oracle-checked: the anchor's resolved target (title
+    attr, spaces underscored — HtmlTableParser.py:674-714 + reference
+    resolve_data_type) emits as a 'link' span before the cell's text value
+    (F13 two-rule extraction) — previously only golden-pinned
+    (actor_anchors)."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, link_anchors=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

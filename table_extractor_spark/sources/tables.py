@@ -43,6 +43,7 @@ def fixture_corpus_df(spark: SparkSession, copies: int = 1) -> DataFrame:
 def synthesize_docs_from_testdata(
     spark: SparkSession, sf_dir: str, limit: Optional[int] = None,
     table_rows: int = 6, media_anchors: bool = False,
+    link_anchors: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -79,7 +80,23 @@ def synthesize_docs_from_testdata(
         F.flatten(F.array_repeat(base_words, repeats)), 1, table_rows
     )
     did_expr = F.col("__did")
-    if media_anchors:
+    if link_anchors:
+        # every word cell is a blue link (title attr): the anchor's resolved
+        # target becomes a 'link' span before the cell value (F13 two-rule
+        # value extraction + the reference's multi-value cell emission)
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
+                    F.lit('<a href="/wiki/x" title="lnk '), did_expr,
+                    F.lit(" r"), i.cast("string"), F.lit('">'), w,
+                    F.lit("</a></td></tr>"),
+                ),
+            ),
+        )
+    elif media_anchors:
         # every word cell carries an image anchor (class='image', media
         # href): the reference's embedded-image case — the anchor itself
         # contributes no text value, the href becomes the cell's media_ref
