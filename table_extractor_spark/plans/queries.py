@@ -172,6 +172,43 @@ def extract_link_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_colspan_collapse",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Pair', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Pair', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Sing', '', 3 FROM d
+  -- the quirk: the FIRST data cell under the duplicated header vanishes
+  -- (row dict keyed by header text, last value wins)
+  UNION ALL SELECT doc_id, 'cell', words[i + 1], '', 4 + 2 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', 'z' || CAST(i AS VARCHAR), '',
+         5 + 2 * i FROM d, g
+)
+""",
+)
+def extract_colspan_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature colspan quirk oracle-checked end to end: a colspan-2
+    header expands to the SAME dict twice (HtmlTableParser.py:802-850), and
+    the positional join keyed by header TEXT then collapses the first data
+    cell under it (last value wins, :914-963) — previously pinned only by
+    goldens and the py2 differential."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, header_colspan=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

@@ -43,7 +43,7 @@ def fixture_corpus_df(spark: SparkSession, copies: int = 1) -> DataFrame:
 def synthesize_docs_from_testdata(
     spark: SparkSession, sf_dir: str, limit: Optional[int] = None,
     table_rows: int = 6, media_anchors: bool = False,
-    link_anchors: bool = False,
+    link_anchors: bool = False, header_colspan: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -124,11 +124,34 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    table_markup = F.concat(
-        F.lit('<table class="wikitable"><tr><th>Idx</th><th>Word</th></tr>'),
-        row_markup,
-        F.lit("</table>"),
-    )
+    if header_colspan:
+        # colspan header + 3-cell data rows: the expansion duplicates the
+        # 'Pair' header (same dict object), and the positional join keyed by
+        # header TEXT then collapses the first data cell away (last value
+        # wins) — the reference's signature quirk, here made oracle-checkable
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
+                    w, F.lit("</td><td>z"), i.cast("string"),
+                    F.lit("</td></tr>"),
+                ),
+            ),
+        )
+        table_markup = F.concat(
+            F.lit('<table class="wikitable">'
+                  '<tr><th colspan="2">Pair</th><th>Sing</th></tr>'),
+            row_markup,
+            F.lit("</table>"),
+        )
+    else:
+        table_markup = F.concat(
+            F.lit('<table class="wikitable"><tr><th>Idx</th><th>Word</th></tr>'),
+            row_markup,
+            F.lit("</table>"),
+        )
     did = F.col("__did")
     return docs.select(
         did.alias("doc_id"),
