@@ -209,6 +209,42 @@ def extract_colspan_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_vertical_table",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'K' || CAST(i AS VARCHAR), '',
+         1 + i FROM d, g
+  -- vertical quirk: n_headers = len(first header ROW) = 1, so each row's
+  -- th and td become TWO single-value cells in sequence
+  UNION ALL SELECT doc_id, 'cell', 'K' || CAST(i AS VARCHAR), '',
+         7 + 2 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1], '', 8 + 2 * i FROM d, g
+)
+""",
+)
+def extract_vertical_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3's vertical-table quirk oracle-checked: a th+td row marks the table
+    vertical (HtmlTableParser.py:278-314); refined headers are each header
+    row's FIRST cell, and the positional join's width is len(first header
+    row) = 1, so every cell lands in its own single-value row-dict —
+    previously golden/differential only."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, vertical=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

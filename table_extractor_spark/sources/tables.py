@@ -44,6 +44,7 @@ def synthesize_docs_from_testdata(
     spark: SparkSession, sf_dir: str, limit: Optional[int] = None,
     table_rows: int = 6, media_anchors: bool = False,
     link_anchors: bool = False, header_colspan: bool = False,
+    vertical: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -124,7 +125,26 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    if header_colspan:
+    if vertical:
+        # every row is <th>K<i></th><td>word</td>: the reference marks the
+        # table VERTICAL (th+td in one row), takes the first cell of each
+        # header row as the refined headers, and then positionally joins
+        # with n_headers = len(first header ROW) = 1 — each row's th and td
+        # become TWO single-value row-dicts keyed by the first header
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><th>K"), i.cast("string"), F.lit("</th><td>"),
+                    w, F.lit("</td></tr>"),
+                ),
+            ),
+        )
+        table_markup = F.concat(
+            F.lit('<table class="wikitable">'), row_markup, F.lit("</table>")
+        )
+    elif header_colspan:
         # colspan header + 3-cell data rows: the expansion duplicates the
         # 'Pair' header (same dict object), and the positional join keyed by
         # header TEXT then collapses the first data cell away (last value
