@@ -245,6 +245,44 @@ def extract_vertical_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_totale_skip",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:2] AS words
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Idx', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Word', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w0', '', 3 FROM d
+  UNION ALL SELECT doc_id, 'cell', words[1], '', 4 FROM d
+  -- the SECOND adjacent Totale row survives the remove-while-iterating
+  -- filter (the first is deleted, the cursor skips the one that shifted in)
+  UNION ALL SELECT doc_id, 'cell', 'Totale', '', 5 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'sumB', '', 6 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w1', '', 7 FROM d
+  UNION ALL SELECT doc_id, 'cell', words[2], '', 8 FROM d
+)
+""",
+)
+def extract_totale_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's remove-while-iterating quirk oracle-checked: of two ADJACENT
+    'Totale' rows the reference deletes only the first — the cursor skips
+    the row that shifted into the deleted slot (HtmlTableParser.py:783-800;
+    CPython list-iterator semantics)."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, totale_rows=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

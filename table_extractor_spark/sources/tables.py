@@ -44,7 +44,7 @@ def synthesize_docs_from_testdata(
     spark: SparkSession, sf_dir: str, limit: Optional[int] = None,
     table_rows: int = 6, media_anchors: bool = False,
     link_anchors: bool = False, header_colspan: bool = False,
-    vertical: bool = False,
+    vertical: bool = False, totale_rows: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -125,7 +125,23 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    if vertical:
+    if totale_rows:
+        # row layout: word row 0, TWO adjacent 'Totale' rows, word row 1 —
+        # the reference's remove-while-iterating filter deletes the FIRST
+        # Totale row and the cursor then skips the second (it shifted into
+        # the deleted slot), so the second Totale row SURVIVES to the output
+        w0 = F.element_at(words, 1)
+        w1 = F.element_at(words, 2)
+        table_markup = F.concat(
+            F.lit('<table class="wikitable"><tr><th>Idx</th><th>Word</th></tr>'
+                  "<tr><td>w0</td><td>"), w0,
+            F.lit("</td></tr>"
+                  "<tr><td>Totale</td><td>sumA</td></tr>"
+                  "<tr><td>Totale</td><td>sumB</td></tr>"
+                  "<tr><td>w1</td><td>"), w1,
+            F.lit("</td></tr></table>"),
+        )
+    elif vertical:
         # every row is <th>K<i></th><td>word</td>: the reference marks the
         # table VERTICAL (th+td in one row), takes the first cell of each
         # header row as the refined headers, and then positionally joins
