@@ -324,6 +324,45 @@ def extract_summary_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_supersub_headers",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  -- 'P' (colspan 2) absorbs A and B; 'Y' (rowspan 2) fills a blank copy
+  -- down, so the flatten keeps the super text alone
+  UNION ALL SELECT doc_id, 'header', 'P - A', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'P - B', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Y', '', 3 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w' || CAST(i AS VARCHAR), '',
+         4 + 3 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1], '', 5 + 3 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', 'z' || CAST(i AS VARCHAR), '',
+         6 + 3 * i FROM d, g
+)
+""",
+)
+def extract_supersub_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9's multi-row header flatten + W3's blank rowspan fill-down,
+    oracle-checked on real markup: colspan-2 'P' absorbs its two
+    sub-headers as 'P - A'/'P - B', rowspan-2 'Y' fills a BLANK copy into
+    the sub row so the flatten keeps the super text alone
+    (HtmlTableParser.py:439-472, :520-587)."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, supersub=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

@@ -45,7 +45,7 @@ def synthesize_docs_from_testdata(
     table_rows: int = 6, media_anchors: bool = False,
     link_anchors: bool = False, header_colspan: bool = False,
     vertical: bool = False, totale_rows: bool = False,
-    summary_row: bool = False,
+    summary_row: bool = False, supersub: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -126,7 +126,30 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    if summary_row:
+    if supersub:
+        # two-row header with colspan + rowspan: 'P' (colspan 2) absorbs the
+        # sub-headers A and B as 'P - A'/'P - B'; 'Y' (rowspan 2) fills a
+        # BLANK-text copy down into the sub row, so the flatten keeps the
+        # super text alone (HtmlTableParser.py:439-472 + :520-587)
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><td>w"), i.cast("string"), F.lit("</td><td>"),
+                    w, F.lit("</td><td>z"), i.cast("string"),
+                    F.lit("</td></tr>"),
+                ),
+            ),
+        )
+        table_markup = F.concat(
+            F.lit('<table class="wikitable">'
+                  '<tr><th colspan="2">P</th><th rowspan="2">Y</th></tr>'
+                  "<tr><th>A</th><th>B</th></tr>"),
+            row_markup,
+            F.lit("</table>"),
+        )
+    elif summary_row:
         # career-summary shape (P5): the last row's two numeric cells equal
         # the running column sums of the prior rows AND its text cell
         # differs from the previous row's by >=7 unique chars -> dropped by
