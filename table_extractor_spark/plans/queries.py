@@ -363,6 +363,45 @@ def extract_supersub_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_accent_fallback",
+    oracle="""
+WITH d AS (
+  SELECT 'Pelé_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         strip_accents('Pelé ' || CAST(doc_id AS VARCHAR)) AS section,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  -- heading-less doc: the section falls back to the doc_id, which is a
+  -- py2 BYTE string there and so IS accent-folded — while the doc_id
+  -- column itself stays unfolded (F6's asymmetry)
+  SELECT doc_id, 'section' AS kind, section AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  UNION ALL SELECT doc_id, 'header', 'Idx', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Word', '', 2 FROM d
+  UNION ALL SELECT doc_id, 'cell', 'w' || CAST(i AS VARCHAR), '',
+         3 + 2 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1], '', 4 + 2 * i FROM d, g
+)
+""",
+)
+def extract_accent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6's asymmetric accent folding oracle-checked: a heading-less page
+    takes its section from the doc_id — a byte string in the reference, so
+    delete_accented_characters FOLDS it (Utilities.py:451-464, :262-268),
+    while heading-derived sections stay unfolded (unicode hits the
+    TypeError quirk).  Restricted to NFKD-decomposable accents, where the
+    kernel's py2-faithful fold and DuckDB's strip_accents agree."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, accent_fallback=True
+    ).filter(F.col("doc_id").substr(F.lit(6), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

@@ -46,6 +46,7 @@ def synthesize_docs_from_testdata(
     link_anchors: bool = False, header_colspan: bool = False,
     vertical: bool = False, totale_rows: bool = False,
     summary_row: bool = False, supersub: bool = False,
+    accent_fallback: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -74,7 +75,11 @@ def synthesize_docs_from_testdata(
     # lambdas resolve against that lateral alias instead of the child's
     # numeric doc_id (measured: media hrefs came out 'doc_doc_0')
     docs = docs.withColumn(
-        "__did", F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+        "__did",
+        F.concat(
+            F.lit("Pelé_" if accent_fallback else "doc_"),
+            F.col("doc_id").cast("string"),
+        ),
     )
     base_words = F.split(F.col("text"), " ")
     repeats = table_rows // 10 + 2  # docs have >=10 words at every SF
@@ -229,6 +234,24 @@ def synthesize_docs_from_testdata(
             F.lit("</table>"),
         )
     did = F.col("__did")
+    if accent_fallback:
+        # HEADING-LESS document with an accented page title: the section
+        # falls back to the doc_id — a py2 BYTE-string there, so it IS
+        # accent-folded (Utilities.py:451-464 + :262-268), unlike heading
+        # text which stays unicode/unfolded (F6's asymmetry)
+        return docs.select(
+            did.alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat(F.lit("About this page. "), table_markup).alias(
+                        "text"
+                    ),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
     return docs.select(
         did.alias("doc_id"),
         F.array(
