@@ -402,6 +402,42 @@ def extract_accent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_header_cleanup",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents WHERE doc_id < 300
+), g AS (SELECT i FROM generate_series(0, 5) t(i))
+SELECT doc_id, kind, text, media_ref, "order" FROM (
+  SELECT doc_id, 'section' AS kind, 'Profile ' || lang AS text,
+         '' AS media_ref, 0 AS "order" FROM d
+  -- header cleanup: nbsp DELETED, ' -> '.', citation stripped
+  UNION ALL SELECT doc_id, 'header', 'Idx', '', 1 FROM d
+  UNION ALL SELECT doc_id, 'header', 'Wo.rd', '', 2 FROM d
+  -- data cleanup asymmetry: nbsp -> ' ', citation KEPT
+  UNION ALL SELECT doc_id, 'cell', 'a ' || CAST(i AS VARCHAR), '',
+         3 + 2 * i FROM d, g
+  UNION ALL SELECT doc_id, 'cell', words[i + 1] || '[2]', '',
+         4 + 2 * i FROM d, g
+)
+""",
+)
+def extract_header_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F4's header-vs-data cleanup asymmetry oracle-checked: nbsp
+    is DELETED from headers but becomes ' ' in data cells; citations are
+    stripped from headers but KEPT in data; single quotes become '.' in
+    headers only (HtmlTableParser.py:359-367, :474-489, :716-755)."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, header_quirks=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, _ = extract_pipeline(docs, num_partitions=16)
+    return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

@@ -46,7 +46,7 @@ def synthesize_docs_from_testdata(
     link_anchors: bool = False, header_colspan: bool = False,
     vertical: bool = False, totale_rows: bool = False,
     summary_row: bool = False, supersub: bool = False,
-    accent_fallback: bool = False,
+    accent_fallback: bool = False, header_quirks: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -131,7 +131,28 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    if supersub:
+    if header_quirks:
+        # header-vs-data cleanup asymmetry: nbsp is DELETED from headers but
+        # becomes ' ' in data; citations are stripped from headers but KEPT
+        # in data; single quotes become '.' in headers only
+        # (HtmlTableParser.py:359-367, :474-489, :716-755)
+        row_markup = F.concat_ws(
+            "",
+            F.transform(
+                words,
+                lambda w, i: F.concat(
+                    F.lit("<tr><td>a\u00a0"), i.cast("string"),
+                    F.lit("</td><td>"), w, F.lit("[2]</td></tr>"),
+                ),
+            ),
+        )
+        table_markup = F.concat(
+            F.lit('<table class="wikitable">'
+                  "<tr><th>Id\u00a0x</th><th>Wo'rd[1]</th></tr>"),
+            row_markup,
+            F.lit("</table>"),
+        )
+    elif supersub:
         # two-row header with colspan + rowspan: 'P' (colspan 2) absorbs the
         # sub-headers A and B as 'P - A'/'P - B'; 'Y' (rowspan 2) fills a
         # BLANK-text copy down into the sub row, so the flatten keeps the
