@@ -438,6 +438,40 @@ def extract_header_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_error_metrics",
+    oracle="""
+SELECT COUNT(*) AS docs, 2 * COUNT(*) AS tot_tables,
+       2 * COUNT(*) AS tables_analyzed,
+       COUNT(*) AS no_headers, COUNT(*) AS no_data,
+       0 AS rows_extracted, 0 AS triples_row, 0 AS kernel_errors
+FROM documents WHERE doc_id < 300
+""",
+)
+def extract_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 accounting oracle-checked: a headerless table counts
+    no_headers, a dataless one counts no_data; both are analyzed, neither
+    emits spans, and neither is a kernel ERROR (the reference's expected
+    per-table outcomes, HtmlTableParser.py:197-211)."""
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(
+        spark, sf_dir, error_tables=True
+    ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
+    out, metrics = extract_pipeline(docs, num_partitions=16)
+    assert out is not None
+    return metrics.agg(
+        F.count("*").alias("docs"),
+        F.sum("tables_num").alias("tot_tables"),
+        F.sum("tables_analyzed").alias("tables_analyzed"),
+        F.sum("no_headers").alias("no_headers"),
+        F.sum("no_data").alias("no_data"),
+        F.sum("rows_extracted").alias("rows_extracted"),
+        F.sum("triples_row").alias("triples_row"),
+        F.sum("kernel_errors").alias("kernel_errors"),
+    )
+
+
+@register(
     "extract_metrics_report",
     oracle="""
 SELECT COUNT(*) AS docs, COUNT(*) AS tot_tables, COUNT(*) AS tables_analyzed,

@@ -47,6 +47,7 @@ def synthesize_docs_from_testdata(
     vertical: bool = False, totale_rows: bool = False,
     summary_row: bool = False, supersub: bool = False,
     accent_fallback: bool = False, header_quirks: bool = False,
+    error_tables: bool = False,
 ) -> DataFrame:
     """Deterministically derive an interleaved (doc_id, spans) corpus from the
     driver's ``documents`` table (BASELINE.json: "synthesise it
@@ -131,7 +132,16 @@ def synthesize_docs_from_testdata(
                 ),
             ),
         )
-    if header_quirks:
+    if error_tables:
+        # one headerless table (E2, no_headers) + one dataless table (E3,
+        # no_data) per doc: both are analyzed, counted in the metrics, and
+        # emit NO spans (HtmlTableParser.py:197-211)
+        table_markup = F.lit(
+            '<table class="wikitable"><tr><td>a</td></tr>'
+            "<tr><td>b</td></tr></table>"
+            '<table class="wikitable"><tr><th>H</th></tr></table>'
+        )
+    elif header_quirks:
         # header-vs-data cleanup asymmetry: nbsp is DELETED from headers but
         # becomes ' ' in data; citations are stripped from headers but KEPT
         # in data; single quotes become '.' in headers only
