@@ -406,3 +406,77 @@ def bottomk_fingerprint(text_col, k: int = 4, shingle_k: int = 3) -> F.Column:
     """Bottom-k sketch (document fingerprint): k smallest distinct shingle
     hashes, sorted — a deterministic winnowing-style fingerprint."""
     return F.slice(F.array_sort(shingle_hashes(text_col, shingle_k)), 1, k)
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iters: int = 20
+) -> DataFrame:
+    """(node, component) for every node appearing in the pair list, where
+    ``component`` is the minimum node id of its connected component.
+
+    The scale-safe alternating large-star/small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    method, independent implementation).  Each round is two groupBy-min +
+    join passes over the EDGE list only (never the corpus); the edge set
+    contracts toward a star around each component's minimum in O(log n)
+    rounds, so even pathological duplicate chains (the A~B~C, A~/~C shape
+    greedy pairwise dropping mishandles) converge in a handful of shuffles.
+    ``localCheckpoint`` truncates the iterative lineage each round (the
+    MLlib-style pattern); convergence is detected by an order-insensitive
+    edge-set fingerprint, bounded by ``max_iters``.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # for each node: point every LARGER neighbor at min(self, neighbors)
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient toward smaller ids; point node + its smaller nbrs at the min
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = edges.localCheckpoint()
+    prev = fingerprint(e)
+    for _ in range(max_iters):
+        e = small_star(large_star(e)).localCheckpoint()
+        fp = fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    # converged star: every edge is (member, component-min)
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    reps = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return members.union(reps).distinct()

