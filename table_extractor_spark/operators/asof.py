@@ -30,17 +30,22 @@ def asof_join(
     value_cols: Sequence[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join (``direction='backward'``, inclusive): every left row
-    keeps its columns plus, for each ``c`` in ``value_cols``, the value from
-    the latest right row with ``right[on] <= left[on]`` within the same
-    ``by`` group (NULL when none exists) — DuckDB ``ASOF LEFT JOIN`` on
-    ``l.by = r.by AND l.on >= r.on`` semantics.
+    """Left as-of join, inclusive: every left row keeps its columns plus,
+    for each ``c`` in ``value_cols``, the value from the matched right row
+    within the same ``by`` group (NULL when none exists):
+
+    * ``direction='backward'`` (default): the LATEST right row with
+      ``right[on] <= left[on]`` — DuckDB ``ASOF LEFT JOIN`` on
+      ``l.by = r.by AND l.on >= r.on``;
+    * ``direction='forward'``: the EARLIEST right row with
+      ``right[on] >= left[on]`` — the mirror window (descending time,
+      right-before-left at ties), same single shuffle.
 
     ``right`` must be unique per (by, on); pre-aggregate it otherwise (an
     as-of match against duplicate timestamps is ill-defined).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward (latest at-or-before) as-of")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     # the fill-down carrier is ONE struct built only on right rows: a matched
     # right row whose value column is NULL then yields NULL (row identity is
@@ -58,10 +63,13 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
 
-    # right rows sort BEFORE left rows at the same timestamp => inclusive <=
+    # right rows sort BEFORE left rows at the same timestamp => inclusive
+    # match in both directions; forward simply walks time descending so the
+    # "last right seen" is the earliest at-or-after
+    order = F.col(on) if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("__side"))
+        .orderBy(order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__f", F.last("__r", ignorenulls=True).over(w))

@@ -110,7 +110,9 @@ def parse_documents_gen(batches) -> Iterator["pa.RecordBatch"]:
     block-manager warm-up)."""
     from time import perf_counter
 
-    n_metrics = len(METRIC_FIELDS)
+    import numpy as np
+
+    names = list(OUT_COLUMNS) + list(METRIC_FIELDS)
     empty: tuple = ()
     for rb in batches:
         d = rb.column(0).to_pylist()
@@ -118,44 +120,55 @@ def parse_documents_gen(batches) -> Iterator["pa.RecordBatch"]:
         ts_col = rb.column(2).to_pylist()
         rs_col = rb.column(3).to_pylist()
         os_col = rb.column(4).to_pylist()
-        doc_ids: list = []
         kinds: list = []
         texts: list = []
         refs: list = []
-        orders: list = []
-        metric_cols: Tuple[list, ...] = tuple([] for _ in range(n_metrics))
+        lens: list = []
+        metric_rows: list = []
         for did, ks, ts, rs, os_ in zip(d, ks_col, ts_col, rs_col, os_col):
             t0 = perf_counter()
             if ks is None:
                 ks = ts = rs = os_ = empty
             k, t, r, metrics = extract_document_cols(did, ks, ts, rs, os_)
             metrics["kernel_us"] = int((perf_counter() - t0) * 1e6)
-            n = len(k)
-            doc_ids.extend([did] * (n + 1))
+            lens.append(len(k))
             kinds.extend(k)
-            kinds.append(None)
             texts.extend(t)
-            texts.append(None)
             refs.extend(r)
-            refs.append(None)
-            orders.extend(range(n))
-            orders.append(None)
-            for i, f in enumerate(METRIC_FIELDS):
-                col = metric_cols[i]
-                col.extend([None] * n)
-                col.append(metrics[f])
-        arrays = [
-            pa.array(doc_ids, pa.string()),
-            pa.array(kinds, pa.string()),
-            pa.array(texts, pa.string()),
-            pa.array(refs, pa.string()),
-            pa.array(orders, pa.int32()),
-        ]
-        names = list(OUT_COLUMNS)
-        for i, f in enumerate(METRIC_FIELDS):
-            arrays.append(pa.array(metric_cols[i], pa.int64()))
-            names.append(f)
-        yield pa.RecordBatch.from_arrays(arrays, names)
+            metric_rows.append(metrics)
+        # span rows and metric rows ship as SEPARATE batches of the same
+        # schema, each with pa.nulls() for the other family's columns — the
+        # r2 interleaved layout appended 11 python Nones per span row
+        # (~1,100 per document), which profiled as ~1/3 of the whole Arrow
+        # stage at 32 cores; null buffers cost O(1) instead
+        lens_np = np.asarray(lens, dtype=np.int64)
+        total = int(lens_np.sum())
+        if total:
+            # doc_id repeated per span + per-doc order, both vectorized
+            idx = np.repeat(np.arange(len(d), dtype=np.int64), lens_np)
+            orders = np.arange(total, dtype=np.int32) - np.repeat(
+                np.cumsum(lens_np) - lens_np, lens_np
+            ).astype(np.int32)
+            span_arrays = [
+                rb.column(0).take(pa.array(idx)),
+                pa.array(kinds, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(refs, pa.string()),
+                pa.array(orders, pa.int32()),
+            ] + [pa.nulls(total, pa.int64()) for _ in METRIC_FIELDS]
+            yield pa.RecordBatch.from_arrays(span_arrays, names)
+        if d:
+            metric_arrays = [
+                rb.column(0),
+                pa.nulls(len(d), pa.string()),
+                pa.nulls(len(d), pa.string()),
+                pa.nulls(len(d), pa.string()),
+                pa.nulls(len(d), pa.int32()),
+            ] + [
+                pa.array([m[f] for m in metric_rows], pa.int64())
+                for f in METRIC_FIELDS
+            ]
+            yield pa.RecordBatch.from_arrays(metric_arrays, names)
 
 
 def table_prefilter() -> Column:

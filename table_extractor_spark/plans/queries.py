@@ -1721,6 +1721,49 @@ def asof_join_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_next_error",
+    oracle="""
+WITH lhs AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+), rhs AS (
+  SELECT user_id, ts, MAX(event_id) AS err_event
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       r.err_event AS right_err_event
+FROM lhs l ASOF LEFT JOIN rhs r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each non-error event picks up the EARLIEST
+    at-or-after error of the same user (alerting/root-cause direction) —
+    the mirror window of `asof_join_latest_error`, still one shuffle and no
+    Python; oracle is DuckDB ASOF LEFT JOIN with the <= inequality."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    lhs = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "ts"
+    )
+    rhs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event"))
+    )
+    joined = asof_join(
+        lhs, rhs, on="ts", by="user_id", value_cols=["err_event"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "right_err_event",
+    )
+
+
+@register(
     "sessionization",
     oracle="""
 WITH gaps AS (
@@ -2319,9 +2362,7 @@ round(
 """
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
+_DUCK_NDUP_CTE = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
 qv AS (SELECT vec_id, e, list_transform(e, x -> round(x * 1000)) AS q FROM v),
@@ -2336,8 +2377,13 @@ sims AS (
   SELECT p.a, p.b, {_DUCK_NDUP_COS} AS cos_sim
   FROM pairs p JOIN v va ON p.a = va.vec_id JOIN v vb ON p.b = vb.vec_id
 )
-SELECT a, b, cos_sim FROM sims WHERE cos_sim >= {NDUP_THRESHOLD}
-""".replace("{bucket}", _duck_ndup_bucket()),
+""".replace("{bucket}", _duck_ndup_bucket())
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=_DUCK_NDUP_CTE
+    + f"SELECT a, b, cos_sim FROM sims WHERE cos_sim >= {NDUP_THRESHOLD}",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs, scale-safe: candidates come from a
@@ -2389,6 +2435,35 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= NDUP_THRESHOLD)
     )
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=_DUCK_NDUP_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, verified AS (SELECT a, b FROM sims WHERE cos_sim >= {NDUP_THRESHOLD}),
+edges AS (
+  SELECT a AS u, b AS w FROM verified
+  UNION SELECT b, a FROM verified
+), walk AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT wk.u, e.w FROM walk wk JOIN edges e ON wk.w = e.u
+  WHERE e.w <> wk.u
+)
+SELECT u AS node, least(u, min(w)) AS component FROM walk GROUP BY u
+""",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) duplicate CLUSTERS: the verified near-dup
+    pair graph from ``embedding_near_dup_pairs`` closed into connected
+    components (large-star/small-star), so semantic dedup can keep one doc
+    per cluster instead of greedily dropping pair-larger ids — same CC
+    operator the text-near-dup curation stage uses, same recursive-CTE
+    oracle shape, over the sign-LSH + exact-cosine edge list (never the
+    corpus)."""
+    verified = embedding_near_dup_pairs(spark, sf_dir).select("a", "b")
+    return D.connected_components(verified)
 
 
 @register(
