@@ -19,6 +19,7 @@ decimals; we use Python 3 ``str`` and pin that choice in the golden fixtures
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any
 
 # fast-reject guard: most cell values are words, and raising/catching
@@ -36,11 +37,41 @@ def _fast_nonfloat(value: Any) -> bool:
     return not t or t[0] not in _FLOAT_START
 
 
+# Each cell string gets float-tested ~3x along the kernel path (type
+# resolution, then the summary filter's is_float AND is_int), and real
+# tables repeat values heavily ('-', years, small counts) — a bounded memo
+# on the STRING paths is ~10% of whole-document kernel time (profiled).
+# Pure functions of the string; the non-string paths stay uncached (and
+# unhashable inputs can never hit the cache).
+
+
+@lru_cache(maxsize=1 << 16)
+def _str_is_float_py2(value: str) -> bool:
+    if "_" in value or _fast_nonfloat(value):
+        return False
+    try:
+        float(value)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+@lru_cache(maxsize=1 << 16)
+def _str_is_int_py2(value: str) -> bool:
+    if "_" in value or _fast_nonfloat(value):
+        return False
+    try:
+        int(value)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
 def py2_is_float(value: Any) -> bool:
     """``MapperTools.is_float`` semantics: True iff ``float(value)`` succeeds in py2."""
-    if isinstance(value, str) and "_" in value:
-        return False
-    if _fast_nonfloat(value):
+    if type(value) is str:
+        return _str_is_float_py2(value)
+    if isinstance(value, str) and "_" in value:  # str subclass
         return False
     try:
         float(value)
@@ -51,9 +82,9 @@ def py2_is_float(value: Any) -> bool:
 
 def py2_is_int(value: Any) -> bool:
     """``MapperTools.is_int`` semantics: True iff ``int(value)`` succeeds in py2."""
-    if isinstance(value, str) and "_" in value:
-        return False
-    if _fast_nonfloat(value):  # anything float() rejects, int() rejects too
+    if type(value) is str:
+        return _str_is_int_py2(value)
+    if isinstance(value, str) and "_" in value:  # str subclass
         return False
     try:
         int(value)
@@ -66,10 +97,12 @@ def parser_is_float(value: Any) -> bool:
     """``HtmlTableParser.is_float`` (:902-912): catches ValueError only.
 
     A non-string input raising TypeError would propagate in the reference; by
-    the time it is called the value is always a string, so behavior matches.
+    the time it is called the value is always a string, so behavior matches
+    (and the string path shares ``py2_is_float``'s memo — the predicates
+    agree on strings: both reduce to ``float(value)`` raising or not).
     """
-    if isinstance(value, str) and "_" in value:
-        return False
+    if type(value) is str:
+        return _str_is_float_py2(value)
     if _fast_nonfloat(value):
         return False
     try:
