@@ -589,7 +589,9 @@ triples AS (
 """
 
 
-def _triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _triples_df(
+    spark: SparkSession, sf_dir: str, entities: Optional[DataFrame] = None
+) -> DataFrame:
     from .extract import extract_pipeline
     from .triples import emit_triples
 
@@ -616,7 +618,7 @@ def _triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["key", "property"],
     )
-    return emit_triples(out, rules)
+    return emit_triples(out, rules, entities=entities)
 
 
 @register(
@@ -629,6 +631,57 @@ def emit_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     section gate, J5 positional header join, A9 reification, F10 typing) as
     DataFrame ops over the extraction output (plans/triples.py)."""
     return _triples_df(spark, sf_dir)
+
+
+def _probed_triples_oracle() -> str:
+    """The emit_triples oracle with an ``ents`` vocabulary-quarter CTE and
+    the two cell branches' kind switched to a probe CASE — built by string
+    surgery on `_DUCK_TRIPLES_CTE` so the two oracles can never drift."""
+    ents = f"""ents AS (
+  SELECT DISTINCT w AS entity
+  FROM (SELECT unnest((string_split(text, ' '))[1:6]) AS w FROM documents)
+  WHERE {DUCK_HASH.format('w')} % 4 = 0
+), """
+    sql = _DUCK_TRIPLES_CTE.replace("WITH d AS", "WITH " + ents + "d AS", 1)
+    sql = sql.replace(
+        "'w' || CAST(i - 1 AS VARCHAR), 'string', i * 1000 + 1 FROM base",
+        "'w' || CAST(i - 1 AS VARCHAR),\n"
+        "         CASE WHEN 'w' || CAST(i - 1 AS VARCHAR) IN "
+        "(SELECT entity FROM ents)\n"
+        "              THEN 'resource' ELSE 'string' END,\n"
+        "         i * 1000 + 1 FROM base",
+    )
+    sql = sql.replace(
+        "words[i], 'string', i * 1000 + 2 FROM base",
+        "words[i],\n"
+        "         CASE WHEN words[i] IN (SELECT entity FROM ents)\n"
+        "              THEN 'resource' ELSE 'string' END,\n"
+        "         i * 1000 + 2 FROM base",
+    )
+    return (
+        sql
+        + "SELECT doc_id, subject, predicate, object, object_kind, t_order"
+        " FROM triples"
+    )
+
+
+@register("emit_triples_probed", oracle=_probed_triples_oracle())
+def emit_triples_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emit_triples with the entity-existence probe enabled
+    (Mapper.check_value_type -> check_if_is_resource): the entity dimension
+    is a deterministic quarter of the corpus vocabulary (60-bit hash % 4),
+    so the output mixes probe hits ('resource' cells carrying the adjusted
+    name) and misses ('string') — J3's semi-join probe running INSIDE the
+    emission path, broadcast like every rules join."""
+    docs = load_table(spark, sf_dir, "documents")
+    ents = (
+        docs.select(
+            F.explode(F.slice(F.split("text", " "), 1, 6)).alias("entity")
+        )
+        .distinct()
+        .filter(spark_hash(F.col("entity")) % 4 == 0)
+    )
+    return _triples_df(spark, sf_dir, entities=ents)
 
 
 @register(

@@ -37,12 +37,36 @@ from ..functions.typing import py2_float_matches
 SECTION_PREFIX = "SECTION_"
 
 
-def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
+def adjust_resource(c: Column) -> Column:
+    """``MapperTools.adjust_resource`` (:298-311): strip ONE leading and ONE
+    trailing space, then every remaining space becomes '_' — the cell-value
+    -> URI-tail normalization the reference applies before probing."""
+    out = F.regexp_replace(c, r"^ ", "")
+    out = F.regexp_replace(out, r" $", "")
+    return F.replace(out, F.lit(" "), F.lit("_"))
+
+
+def emit_triples(
+    out_spans: DataFrame, rules: DataFrame, entities: DataFrame = None
+) -> DataFrame:
     """out_spans(doc_id, kind, text, media_ref, order) + rules(key, property)
     -> triples(doc_id, subject, predicate, object, object_kind, t_order).
 
     object_kind: 'resource' (row triples), 'uri' (cells with a media_ref),
     'float' (py-float-castable text, F10), else 'string'.
+
+    ``entities`` (optional, column ``entity``) enables the reference's
+    entity-existence probe (Mapper.check_value_type -> check_if_is_resource,
+    Mapper.py:193-259): a non-float cell whose ``adjust_resource``-normalized
+    value matches an existing entity becomes a 'resource' object carrying
+    the ADJUSTED name (the reference emits ``dbr + resource_to_search``).
+    The entity table is the dimension side — broadcast, J3's probe shape —
+    and is expected to carry PRE-FOLDED probe keys (the reference folds
+    accents at probe time, Utilities.py:451-464; at engine scale that fold
+    belongs in the entity-table build, and the reference's substring-cache
+    shortcut (Mapper.py:228-238) is a documented non-reproduced mechanic —
+    the probe here is exact-match).  Typing precedence matches the
+    reference: media-uri, then float, then resource probe, then string.
     """
     w_doc = Window.partitionBy("doc_id").orderBy("order")
 
@@ -87,14 +111,6 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
         )
     )
 
-    # reification index: monotone row counter across ALL of a doc's tables
-    # (A9) — dense_rank directly on the cells (each distinct (table, row)
-    # gets the next counter value), which rides the doc_id window partition
-    # already paid for; the r01 distinct+row_number+re-join did the same
-    # numbering with an avoidable extra shuffle and join
-    w_rows = Window.partitionBy("doc_id").orderBy("table_idx", "row_idx")
-    cells = cells.withColumn("reif", F.dense_rank().over(w_rows))
-
     # J2: section gate — inner broadcast join drops unmapped tables
     sect_rules = rules.select(
         F.col("key").alias("__skey"), F.col("property").alias("section_prop")
@@ -103,6 +119,17 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
         F.broadcast(sect_rules),
         F.concat(F.lit(SECTION_PREFIX), F.col("section")) == F.col("__skey"),
     )
+
+    # reification index: monotone row counter across a doc's MAPPED tables
+    # (A9) — dense_rank directly on the gated cells (each distinct (table,
+    # row) gets the next counter value), riding the doc_id window partition
+    # already paid for.  Computed AFTER the J2 gate because the reference's
+    # map() never runs for an unmapped section, so gated tables consume no
+    # reification indices (Mapper.py:92-98; pinned by the randomized batch
+    # differential).  The r01 distinct+row_number+re-join did the same
+    # numbering with an avoidable extra shuffle and join.
+    w_rows = Window.partitionBy("doc_id").orderBy("table_idx", "row_idx")
+    cells = cells.withColumn("reif", F.dense_rank().over(w_rows))
 
     # J1: strict `<section>_<header>` then loose `<header>` cascade
     strict = rules.select(
@@ -143,17 +170,28 @@ def emit_triples(out_spans: DataFrame, rules: DataFrame) -> DataFrame:
     # xsd:int branch (Mapper.py:204-205) is unreachable for string cells —
     # every string py2 int() accepts, py2 float() accepts first — so no
     # 'int' kind exists here (documented rather than ported as dead code).
-    cell_triples = cells.filter(
-        F.col("prop").isNotNull() & (F.col("text") != "-")
-    ).select(
+    mapped = cells.filter(F.col("prop").isNotNull() & (F.col("text") != "-"))
+    if entities is not None:
+        ent = entities.select(F.col("entity").alias("__ent")).distinct()
+        mapped = mapped.withColumn("__adj", adjust_resource(F.col("text"))).join(
+            F.broadcast(ent), F.col("__adj") == F.col("__ent"), "left"
+        )
+        probe_hit = F.col("__ent").isNotNull()
+    else:
+        probe_hit = F.lit(False)
+
+    cell_triples = mapped.select(
         "doc_id",
         subject_row.alias("subject"),
         F.col("prop").alias("predicate"),
         F.when(F.col("media_ref") != "", F.col("media_ref"))
+        .when(py2_float_matches(F.col("text")), F.col("text"))
+        .when(probe_hit, F.col("__adj") if entities is not None else F.col("text"))
         .otherwise(F.col("text"))
         .alias("object"),
         F.when(F.col("media_ref") != "", F.lit("uri"))
         .when(py2_float_matches(F.col("text")), F.lit("float"))
+        .when(probe_hit, F.lit("resource"))
         .otherwise(F.lit("string"))
         .alias("object_kind"),
         (F.col("reif") * 1000 + F.col("col_idx") + 1).alias("t_order"),

@@ -465,3 +465,144 @@ def test_extract_value_from_cell_matches_reference():
     res = run_reference_raw({"mode": "typing", "values": [], "cells": cells})
     got = [c["value"] for c in res["cells"]]
     assert got == ["A B display", "plain", "z"]
+
+
+def test_mapper_entity_probe_matches_reference(spark):
+    """check_value_type's resource branch: a non-float cell whose adjusted
+    value exists as an entity becomes a dbr URIRef carrying the ADJUSTED
+    name; floats still win precedence; misses stay string literals.  My
+    emit_triples(entities=...) must reproduce the reference triples
+    exactly.  (Names chosen so the reference's substring probe-cache
+    shortcut never fires — that mechanic is documented non-reproduced.)"""
+    from table_extractor_spark.plans.triples import emit_triples
+
+    tables = [(
+        "Career",
+        ["Team"],
+        [["Alpha FC"], ["12"], ["Beta"], [" Gamma Club "]],
+    )]
+    existing = ["Alpha_FC", "Gamma_Club"]
+
+    res = run_reference_raw({
+        "mode": "mapper",
+        "section": "Career",
+        "dictionary": RULES,
+        "table_data": [
+            {h: [v] for h, v in zip(tables[0][1], row)}
+            for row in tables[0][2]
+        ],
+        "existing": existing,
+        "resource": "Test_Player",
+        "index": 1,
+    })
+    ref = ref_triples_normalized(res)
+
+    # my side: same spans, entities as a broadcast dimension
+    rows, order = [], 0
+    for section, headers, data in tables:
+        rows.append(("Test_Player", "section", section, "", order)); order += 1
+        for h in headers:
+            rows.append(("Test_Player", "header", h, "", order)); order += 1
+        for r in data:
+            for v in r:
+                rows.append(("Test_Player", "cell", v, "", order)); order += 1
+    spans = spark.createDataFrame(
+        rows, ["doc_id", "kind", "text", "media_ref", "order"]
+    )
+    rules_df = spark.createDataFrame(
+        [(k, v) for k, v in RULES.items()], ["key", "property"]
+    )
+    ents = spark.createDataFrame([(e,) for e in existing], ["entity"])
+    mine = {
+        (r.subject, r.predicate, r.object, r.object_kind)
+        for r in emit_triples(spans, rules_df, entities=ents).collect()
+    }
+    assert mine == ref
+    # the probe hits really are resources carrying the adjusted name
+    assert ("Test_Player__1", "teamStrict", "Alpha_FC", "resource") in mine
+    assert ("Test_Player__4", "teamStrict", "Gamma_Club", "resource") in mine
+    assert ("Test_Player__2", "teamStrict", "12", "float") in mine
+    assert ("Test_Player__3", "teamStrict", "Beta", "string") in mine
+
+
+def test_mapper_randomized_batch_matches_reference(spark):
+    """Seeded randomized differential over the full mapping surface: random
+    sections (mapped and unmapped), strict/loose/miss headers, float/'-'/
+    string/entity cell values, 1-3 tables per doc — 30 docs driven through
+    the REAL Mapper (one py2 call per table, reification index threaded),
+    then ONE emit_triples pass over all docs at once; triple sets and
+    row/cell counts must match per doc."""
+    import random
+
+    from table_extractor_spark.plans.triples import emit_triples
+
+    rng = random.Random(7)
+    sections = ["Career", "Stats", "Unmapped1", "Unmapped2"]
+    headers_pool = ["Team", "Goals", "Misc"]
+    values = ["Alpha FC", "Gamma Club", "Delta Team", "Beta", "12", "1.5",
+              "-", " 7 ", "seven", "nan", "x y", " Gamma Club "]
+    existing = ["Alpha_FC", "Gamma_Club"]
+
+    docs = {}
+    for d in range(30):
+        tables = []
+        for _t in range(rng.randint(1, 3)):
+            hdrs = rng.sample(headers_pool, rng.randint(1, 3))
+            data = [
+                [rng.choice(values) for _ in hdrs]
+                for _ in range(rng.randint(1, 3))
+            ]
+            tables.append((rng.choice(sections), hdrs, data))
+        docs[f"rdoc_{d:02d}"] = tables
+
+    # reference side: one Mapper per table, index threaded within each doc
+    ref_by_doc = {}
+    ref_counts = {}
+    for doc_id, tables in docs.items():
+        index, triples = 1, set()
+        n_rows = n_cells = 0
+        for section, hdrs, data in tables:
+            res = run_reference_raw({
+                "mode": "mapper", "section": section, "dictionary": RULES,
+                "table_data": [
+                    {h: [v] for h, v in zip(hdrs, row)} for row in data
+                ],
+                "existing": existing, "resource": doc_id, "index": index,
+            })
+            index = res["reification_index"]
+            triples |= ref_triples_normalized(res)
+            n_rows += res["triples_row"]
+            n_cells += res["mapped_cells"]
+        ref_by_doc[doc_id] = triples
+        ref_counts[doc_id] = (n_rows, n_cells)
+
+    # my side: all docs in one DataFrame pass
+    rows = []
+    for doc_id, tables in docs.items():
+        order = 0
+        for section, hdrs, data in tables:
+            rows.append((doc_id, "section", section, "", order)); order += 1
+            for h in hdrs:
+                rows.append((doc_id, "header", h, "", order)); order += 1
+            for r in data:
+                for v in r:
+                    rows.append((doc_id, "cell", v, "", order)); order += 1
+    spans = spark.createDataFrame(
+        rows, ["doc_id", "kind", "text", "media_ref", "order"]
+    )
+    rules_df = spark.createDataFrame(
+        [(k, v) for k, v in RULES.items()], ["key", "property"]
+    )
+    ents = spark.createDataFrame([(e,) for e in existing], ["entity"])
+    mine_by_doc = {}
+    for r in emit_triples(spans, rules_df, entities=ents).collect():
+        mine_by_doc.setdefault(r.doc_id, set()).add(
+            (r.subject, r.predicate, r.object, r.object_kind)
+        )
+
+    for doc_id in docs:
+        mine = mine_by_doc.get(doc_id, set())
+        assert mine == ref_by_doc[doc_id], doc_id
+        n_rows = sum(1 for t in mine if t[3] == "resource" and "__" in t[2])
+        n_cells = len(mine) - n_rows
+        assert (n_rows, n_cells) == ref_counts[doc_id], doc_id
