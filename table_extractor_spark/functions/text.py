@@ -219,3 +219,43 @@ def with_lang_id(
     return staged.withColumn(
         out_col, F.when(ratio > threshold, "en").otherwise("und")
     ).drop("__lw")
+
+
+def word_rank_table(docs, text_col: str = "text"):
+    """Corpus-frequency word ranks: (word, n, rank), rank 1 = most frequent,
+    ties broken by word — the vocabulary dimension for frequency-based
+    quality scoring.
+
+    The rank window has no partition key, so it funnels through one task —
+    correct HERE because it runs on the VOCABULARY (dimension-sized: ~10^7
+    rows even for web corpora, after the corpus-sized groupBy has already
+    reduced), never on the corpus.  The corpus-side work is one explode +
+    one groupBy shuffle."""
+    from pyspark.sql import Window
+
+    w = docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").alias("n"))
+    return counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("word"))),
+    )
+
+
+def with_rare_word_score(docs, ranks, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_words, mean_rank): mean corpus-frequency rank of a doc's
+    words — high mean = rare-word-heavy (OOV-ish / noisy / specialist), the
+    integer-exact stand-in for unigram-LM surprisal (sum and count are
+    int64, the single division is IEEE-exact, so any engine reproduces the
+    double bit-for-bit — no transcendental in the pipeline).  Join is on
+    the word; broadcast the vocab when it fits, else it is one shuffle."""
+    wds = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+    )
+    return (
+        wds.join(ranks.select("word", "rank"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            (F.sum("rank").cast("double") / F.count("*")).alias("mean_rank"),
+        )
+    )

@@ -2843,6 +2843,62 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontamination_report",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, {_DUCK_SHINGLES} AS hs FROM w),
+bench AS (SELECT DISTINCT unnest(hs) AS bh FROM h WHERE doc_id % 97 = 0),
+x AS (SELECT doc_id, unnest(hs) AS g FROM h),
+hits AS (
+  SELECT doc_id, COUNT(DISTINCT g) AS n
+  FROM x JOIN bench ON x.g = bench.bh GROUP BY doc_id
+)
+SELECT h.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_collisions,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM h LEFT JOIN hits ON h.doc_id = hits.doc_id
+""",
+)
+def decontamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination): the synthetic
+    'benchmark' is every 97th doc; every training doc sharing a word 3-gram
+    with it gets flagged with its distinct collision count.  Benchmark
+    n-gram set broadcasts (eval sets are MBs at any corpus scale); the
+    corpus is never shuffled before the per-doc aggregation."""
+    from ..operators.contamination import benchmark_ngrams, contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(docs, benchmark_ngrams(bench))
+
+
+@register(
+    "rare_word_rank_score",
+    oracle="""
+WITH wds AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS n FROM wds GROUP BY word),
+ranked AS (
+  SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rank FROM vocab
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+FROM wds JOIN ranked USING (word)
+GROUP BY doc_id
+""",
+)
+def rare_word_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank quality scoring (functions/text.word_rank_table +
+    with_rare_word_score): per-doc mean corpus-frequency rank — the
+    integer-exact unigram-surprisal stand-in (no transcendentals, so the
+    double reproduces bit-for-bit on any engine).  Vocab rank is the only
+    single-partition window and it runs on the DIMENSION, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = T.word_rank_table(docs)
+    return T.with_rare_word_score(docs, ranks)
+
+
 # rows-only (no SQL oracle): approximate ANN via sign-LSH buckets — recall vs
 # the exact top-k is evaluated in tests, not hash-compared (approximation is
 # the point; the driver records the weaker rows-only check)

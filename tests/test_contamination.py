@@ -1,0 +1,71 @@
+"""Decontamination + frequency-rank scoring semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from table_extractor_spark.operators.contamination import (
+    benchmark_ngrams,
+    contamination_report,
+)
+from table_extractor_spark.functions.text import (
+    with_rare_word_score,
+    word_rank_table,
+)
+
+
+def test_contamination_flags_exact_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", "said the quick brown fox ran away"),  # shares 3-grams
+            ("d2", "entirely different words here now"),   # clean
+            ("d3", "quick brown fox"),                     # exactly one 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_collisions, r.contaminated)
+        for r in contamination_report(docs, benchmark_ngrams(bench)).collect()
+    }
+    # d1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps'? no —
+    # d1 lacks 'jumps' after fox; shares the first two
+    assert got["d1"] == (2, True)
+    assert got["d2"] == (0, False)
+    assert got["d3"] == (1, True)
+
+
+def test_contamination_every_doc_has_a_row(spark):
+    docs = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "p q r s")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([("bb", "m n o p")], ["doc_id", "text"])
+    rep = contamination_report(docs, benchmark_ngrams(bench))
+    assert rep.count() == 2
+    assert rep.filter(F.col("contaminated")).count() == 0
+
+
+def test_word_rank_table_orders_by_frequency_then_word(spark):
+    docs = spark.createDataFrame(
+        [("a", "cat cat cat dog dog bird")], ["doc_id", "text"]
+    )
+    ranks = {r.word: (r.n, r.rank) for r in word_rank_table(docs).collect()}
+    assert ranks["cat"] == (3, 1)
+    assert ranks["dog"] == (2, 2)
+    assert ranks["bird"] == (1, 3)
+
+
+def test_rare_word_score_mean_rank_exact(spark):
+    docs = spark.createDataFrame(
+        [("a", "cat cat dog"), ("b", "dog bird bird")], ["doc_id", "text"]
+    )
+    # corpus counts: cat 2, dog 2, bird 2 -> ranks by word: bird 1, cat 2, dog 3
+    ranks = word_rank_table(docs)
+    got = {
+        r.doc_id: (r.n_words, r.mean_rank)
+        for r in with_rare_word_score(docs, ranks).collect()
+    }
+    assert got["a"] == (3, (2 + 2 + 3) / 3)
+    assert got["b"] == (3, (3 + 1 + 1) / 3)
