@@ -110,3 +110,51 @@ def test_curate_collapses_duplicate_chain(spark):
     assert "chain_a" in kept
     assert kept & {"chain_b", "chain_c"} == set()
     assert {f"good_{i}" for i in range(4)} <= kept
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Three seeded random graphs (including isolated pairs, chains, and a
+    high-degree hub) vs a plain union-find computed in the test."""
+    import random
+
+    from table_extractor_spark.operators.dedup import connected_components
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # min-id per component
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {
+            n: min(members)
+            for members in comp.values()
+            for n in members
+        }
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n_nodes = 60
+        edges = {(rng.randint(0, n_nodes), rng.randint(0, n_nodes))
+                 for _ in range(45)}
+        # high-degree hub: node 0 connected to a dozen others
+        edges |= {(0, rng.randint(1, n_nodes)) for _ in range(12)}
+        edges = [(u, v) for u, v in edges if u != v]
+        nodes = {x for e in edges for x in e}
+
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        got = {
+            r.node: r.component
+            for r in connected_components(pairs).collect()
+        }
+        assert got == union_find_components(edges, nodes), f"seed={seed}"
