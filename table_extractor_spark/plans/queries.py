@@ -2760,6 +2760,102 @@ def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_survivors_oracle() -> str:
+    """Replay the ENTIRE curate() pipeline in DuckDB: quality gates -> PII
+    scrub -> exact dedup (min id per content hash) -> minhash/LSH candidate
+    pairs -> exact Jaccard verify -> connected components (recursive CTE)
+    keep-one-per-component -> deterministic split."""
+    from ..functions.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    lw = "string_split(lower(text), ' ')"
+    bucket = (
+        "('0x' || substr(md5(array_to_string("
+        "list_transform(sig[4*b+1:4*b+4], x -> CAST(x AS VARCHAR)), ',')),"
+        " 1, 15))::bigint"
+    )
+    jac = (
+        "CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"
+        " / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))"
+    )
+    return f"""
+WITH RECURSIVE g1 AS (
+  SELECT doc_id, text,
+         len({lw}) AS nw,
+         CAST(len(list_filter({lw}, x -> list_contains(
+             ['the','a','of','and','to','in'], x))) AS DOUBLE) / len({lw})
+           AS stop_ratio,
+         1.0 - CAST(len(list_distinct({lw})) AS DOUBLE)
+             / greatest(len({lw}), 1) AS dup_ratio
+  FROM documents
+), gated AS (
+  SELECT doc_id, text FROM g1
+  WHERE nw BETWEEN 5 AND 100000 AND stop_ratio >= 0.01 AND dup_ratio <= 0.5
+), scrubbed AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+    text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+          '{PII_IPV4_RE}', '<IP>', 'g'),
+          '{PII_PHONE_RE}', '<PHONE>', 'g') AS text
+  FROM gated
+), keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM scrubbed
+  GROUP BY {DUCK_HASH.format('text')}
+), exact AS (
+  SELECT s.doc_id, s.text FROM scrubbed s
+  JOIN keep_exact k ON s.doc_id = k.doc_id
+), w AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+h AS (SELECT doc_id, {_DUCK_SHINGLES} AS hs FROM w),
+sigs AS (SELECT doc_id, [{_DUCK_SIG_TERMS}] AS sig FROM h),
+buckets AS (
+  SELECT doc_id, CAST(b AS INT) AS band, {bucket} AS bucket
+  FROM sigs, generate_series(0, 3) t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), verified AS (
+  SELECT p.a, p.b
+  FROM pairs p JOIN h ha ON p.a = ha.doc_id JOIN h hb ON p.b = hb.doc_id
+  WHERE {jac} >= 0.8
+), edges AS (
+  SELECT a AS u, b AS v2 FROM verified UNION SELECT b, a FROM verified
+), walk AS (
+  SELECT u, v2 FROM edges
+  UNION
+  SELECT wk.u, e.v2 FROM walk wk JOIN edges e ON wk.v2 = e.u
+  WHERE e.v2 <> wk.u
+), dupes AS (
+  SELECT u AS doc_id FROM walk GROUP BY u HAVING least(u, min(v2)) <> u
+), survivors AS (
+  SELECT doc_id FROM exact
+  WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+)
+SELECT doc_id,
+  CASE WHEN slot < 90 THEN 'train'
+       WHEN slot < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {DUCK_HASH.format("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+           AS slot
+  FROM survivors
+)
+"""
+
+
+@register("curation_survivors", oracle=_curation_survivors_oracle())
+def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline end-to-end (plans/curation.curate):
+    quality gates -> PII scrub -> exact dedup -> LSH near-dup verify ->
+    connected-components keep-one-per-component -> deterministic split —
+    the oracle replays every stage including the CC closure (recursive
+    CTE), so the driver hash-checks the whole pipeline, not just its
+    pieces."""
+    from .curation import curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate(docs).select("doc_id", "split")
+
+
 @register(
     "deterministic_split",
     oracle=f"""
