@@ -2857,6 +2857,97 @@ def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         {DUCK_HASH.format("CAST(doc_id AS VARCHAR)")} % 32 AS shard,
+         {DUCK_HASH.format("CAST(doc_id AS VARCHAR)")} AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM s
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS bin_id
+FROM o
+""",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing (operators/packing): shard
+    by the engine-agnostic doc hash, running token offsets per shard in
+    canonical order, bin = offset / seq_len — one shuffle, integer-exact,
+    replayed verbatim by the oracle's window."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, n_shards=32)
+
+
+# target pre-training language mix (parts-per-million); zh deliberately 0
+# to exercise the drop-a-domain path end to end
+_MIX_PPM = {"en": 500_000, "de": 200_000, "fr": 200_000, "es": 100_000, "zh": 0}
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest(['en','de','fr','es','zh']) AS lang,
+         unnest([500000, 200000, 200000, 100000, 0]) AS target_ppm
+), c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), total AS (SELECT COUNT(*) AS n_total FROM documents),
+rates AS (
+  SELECT c.lang,
+         least(1000000,
+               CAST(floor(t.target_ppm * total.n_total / c.n) AS BIGINT))
+           AS keep_ppm
+  FROM c JOIN t ON c.lang = t.lang CROSS JOIN total
+)
+SELECT d.doc_id, d.lang, r.keep_ppm
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {DUCK_HASH.format("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+      < r.keep_ppm
+""",
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing: per-lang deterministic downsampling toward a
+    target mix.  keep rate (ppm, integer arithmetic so every engine agrees)
+    = target_share * corpus_total / domain_count, capped at 1; a doc keeps
+    iff H('mix:'||id) %% 1e6 < rate — reproducible, no RNG state.  Counts
+    are one groupBy; the rate table is broadcast-tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_total = docs.count()
+    targets = spark.createDataFrame(
+        [(k, v) for k, v in _MIX_PPM.items()], ["lang", "target_ppm"]
+    )
+    rates = (
+        counts.join(F.broadcast(targets), "lang")
+        .select(
+            "lang",
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    F.col("target_ppm") * F.lit(n_total) / F.col("n")
+                ).cast("long"),
+            ).alias("keep_ppm"),
+        )
+    )
+    h = spark_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h % 1_000_000 < F.col("keep_ppm"))
+        .select("doc_id", "lang", "keep_ppm")
+    )
+
+
+@register(
     "deterministic_split",
     oracle=f"""
 WITH s AS (

@@ -69,3 +69,39 @@ def test_rare_word_score_mean_rank_exact(spark):
     }
     assert got["a"] == (3, (2 + 2 + 3) / 3)
     assert got["b"] == (3, (3 + 1 + 1) / 3)
+
+
+def test_sequence_packing_offsets_contiguous(spark):
+    """Within each shard, canonical-order offsets tile the token stream
+    exactly (no gaps/overlaps) and bin_id = offset // seq_len."""
+    from table_extractor_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, seq_len=16, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.start_offset)
+        expect = 0
+        for r in rows:
+            assert r.start_offset == expect, (shard, r)
+            assert r.bin_id == r.start_offset // 16
+            expect += r.n_tokens
+
+
+def test_domain_mix_rates_hit_target_share(spark, tmp_path):
+    """The ppm rates reproduce the target mix: a domain over its target is
+    downsampled toward it; zh (target 0) drops out entirely."""
+    import json
+    import __spark_entry__ as e
+
+    q = e.queries()["domain_mix_sample"]
+    out = q(spark, "/root/testdata/sf0.001").collect()
+    langs = {r.lang for r in out}
+    assert "zh" not in langs
+    assert all(0 <= r.keep_ppm <= 1_000_000 for r in out)
