@@ -159,3 +159,157 @@ def run_available_now(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - defensive
         q.stop()
+
+
+def start_stream_near_dup_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    near_dup_jaccard: float = 0.8,
+    timeout_sec: int = 600,
+):
+    """Streaming near-dup dedup against a STANDING index — the daily-crawl
+    shape (operators/dedup.lsh_incremental_candidate_pairs) wired into
+    Structured Streaming.
+
+    Per micro-batch of (doc_id, text):
+
+    1. minhash/LSH-bucket the batch;
+    2. candidates = batch x standing-index buckets + batch x batch
+       (increment x occupancy — never corpus x corpus);
+    3. exact-Jaccard verify against the index's stored texts;
+    4. drop batch docs that verify as dups of the corpus; collapse
+       batch-internal dup clusters to one survivor (connected components,
+       min id);
+    5. append survivors (docs to ``output_dir``, their buckets + texts to
+       ``index_dir``), both PARTITIONED BY batch_id with dynamic-partition
+       OVERWRITE — a retried micro-batch replaces its own partitions, so
+       the at-least-once foreachBatch becomes effectively exactly-once and
+       the index never double-counts a batch.
+
+    The standing index grows by survivors only, so the verify set stays
+    duplicate-free; at 10^12 docs the index is the big side and is only
+    ever equi-joined on (band, bucket) — the batch side is the small one.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        connected_components,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        lsh_incremental_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = (
+        spark.readStream.schema("doc_id string, text string")
+        .parquet(input_dir)
+    )
+
+    def dedup_batch(batch_df, batch_id: int) -> None:
+        spark_ = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").persist()
+        try:
+            new_buckets = lsh_buckets(minhash_signatures(batch)).persist()
+            try:
+                idx = spark_.read.parquet(index_dir)
+            except Exception:  # first batch: no index yet
+                idx = None
+
+            # candidate pairs: batch x index + batch x batch
+            within = lsh_candidate_pairs(new_buckets)
+            if idx is not None:
+                corpus_b = idx.select("doc_id", "band", "bucket")
+                cross = (
+                    lsh_incremental_candidate_pairs(new_buckets, corpus_b)
+                    .unionByName(within)
+                    .distinct()
+                )
+                texts = batch.unionByName(
+                    idx.select("doc_id", "text").distinct()
+                )
+            else:
+                cross = within
+                texts = batch
+
+            verified = ngram_jaccard(texts, cross).filter(
+                F.col("jaccard") >= near_dup_jaccard
+            )
+            # side-tag each pair endpoint by batch membership — joins, not
+            # driver collects: the batch can be arbitrarily large
+            bids = batch.select("doc_id").distinct()
+            a_in = bids.select(
+                F.col("doc_id").alias("a"), F.lit(True).alias("__a_in")
+            )
+            b_in = bids.select(
+                F.col("doc_id").alias("b"), F.lit(True).alias("__b_in")
+            )
+            v = (
+                verified.select("a", "b")
+                .join(a_in, "a", "left")
+                .join(b_in, "b", "left")
+            )
+            # batch doc paired with a CORPUS member -> dropped outright
+            drop_corpus = (
+                v.filter(F.col("__a_in") & F.col("__b_in").isNull())
+                .select(F.col("a").alias("doc_id"))
+                .unionByName(
+                    v.filter(F.col("__b_in") & F.col("__a_in").isNull())
+                    .select(F.col("b").alias("doc_id"))
+                )
+            )
+            # batch-internal dup clusters -> keep one per component
+            batch_pairs = v.filter(
+                F.col("__a_in") & F.col("__b_in")
+            ).select("a", "b")
+            drop_cc = (
+                connected_components(batch_pairs)
+                .filter(F.col("node") != F.col("component"))
+                .select(F.col("node").alias("doc_id"))
+            )
+            survivors = batch.join(
+                drop_corpus.unionByName(drop_cc).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            out = survivors.withColumn("batch_id", F.lit(int(batch_id)))
+            idx_rows = (
+                new_buckets.join(survivors.select("doc_id"), "doc_id", "leftsemi")
+                .join(batch.select("doc_id", "text"), "doc_id")
+                .withColumn("batch_id", F.lit(int(batch_id)))
+            )
+            prev = spark_.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark_.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                out.write.mode("overwrite").partitionBy("batch_id").parquet(
+                    output_dir
+                )
+                idx_rows.write.mode("overwrite").partitionBy(
+                    "batch_id"
+                ).parquet(index_dir)
+            finally:
+                spark_.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+                new_buckets.unpersist()
+        finally:
+            batch.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+    return q

@@ -114,3 +114,53 @@ def test_two_sink_retry_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1
     write_both(docs, 1)  # a genuinely new batch appends its own partition
     assert spark.read.parquet(out).count() == 2 * n1
+
+
+def test_stream_near_dup_dedup_standing_index(spark, tmp_path):
+    """Two AvailableNow drains: batch 1 seeds the index (collapsing its own
+    internal near-dups); batch 2's near-dup of a batch-1 survivor is
+    dropped by the standing index, its fresh docs pass."""
+    import os
+
+    from table_extractor_spark.streaming.ingest import (
+        start_stream_near_dup_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckp = str(tmp_path / "ckp")
+    os.makedirs(inp)
+
+    base = " ".join(f"tok{i}" for i in range(30))
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    # batch 1: a + its near-dup b (collapse to a), plus distinct c
+    land("b1", [
+        ("doc_a", base + " ending one"),
+        ("doc_b", base + " ending two"),
+        ("doc_c", " ".join(f"other{i}" for i in range(30))),
+    ])
+    start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
+    kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept1 == {"doc_a", "doc_c"}
+
+    # batch 2: near-dup of doc_a (standing-index hit) + a fresh doc
+    land("b2", [
+        ("doc_d", base + " ending three"),
+        ("doc_e", " ".join(f"fresh{i}" for i in range(30))),
+    ])
+    start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
+    kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept2 == {"doc_a", "doc_c", "doc_e"}
+
+    # the standing index holds exactly the survivors
+    index_docs = {
+        r.doc_id
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert index_docs == {"doc_a", "doc_c", "doc_e"}
