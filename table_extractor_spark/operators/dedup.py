@@ -480,3 +480,70 @@ def connected_components(
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     reps = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     return members.union(reps).distinct()
+
+
+def paragraph_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """(doc_id, pos, chunk, h): the document split into paragraph units.
+
+    Real corpora split on newlines (CCNet's line-level dedup); the engine's
+    synthetic tables are single-line, so the unit here is a fixed
+    ``chunk_words``-word window — the paragraph boundary is a parameter of
+    the tokenizer, not of the dedup algebra, which only ever sees
+    (doc, pos, hash)."""
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(ws, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    ).withColumn("h", hash60(F.col("chunk")))
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: every repeated paragraph keeps
+    only its FIRST global occurrence (min (doc_id, pos)); documents are
+    reassembled from their surviving paragraphs in order.
+
+    (doc_id, text, n_kept, n_total): docs whose every paragraph was seen
+    earlier elsewhere come back with empty text (n_kept = 0) — the caller
+    decides the drop threshold; nothing is silently removed.  One shuffle
+    on the paragraph hash + one on doc_id for reassembly."""
+    chunks = paragraph_chunks(df, text_col, id_col, chunk_words)
+    firsts = chunks.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("first")
+    )
+    kept = chunks.join(firsts, "h").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"), F.struct("pos", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias(text_col),
+            F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+            F.count("*").alias("n_total"),
+        )
+    )

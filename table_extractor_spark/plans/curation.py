@@ -75,16 +75,20 @@ def curate(
     # 2. PII scrub (projection; before dedup so redacted twins collapse)
     scrubbed = gated.withColumn("text", redact_pii(F.col("text")))
 
-    # 3. exact dedup: keep min doc_id per content hash (one shuffle)
+    # 3. exact dedup: keep min doc_id per content hash — a window, not a
+    # groupBy-then-semi-join: the keeper set is corpus-sized, so the join-
+    # back was a second corpus shuffle (a SortMergeJoin in the audit); the
+    # window does it in the ONE shuffle the content-hash partition needs
+    from pyspark.sql import Window
+
     from ..operators.dedup import hash60
 
-    keep_exact = (
-        scrubbed.select(hash60(F.col("text")).alias("__h"), "doc_id")
-        .groupBy("__h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w_exact = Window.partitionBy(hash60(F.col("text"))).orderBy("doc_id")
+    exact = (
+        scrubbed.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    exact = scrubbed.join(keep_exact, "doc_id", "leftsemi")
 
     # 4. near-dup: LSH candidates -> exact Jaccard verify -> connected
     # components over the verified pairs -> keep one doc (min id) per

@@ -2857,6 +2857,54 @@ def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "paragraph_dedup",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c0 AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)),
+           i -> array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')
+         ) AS cl
+  FROM ws
+), chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(cl))) - 1 AS pos,
+         unnest(cl) AS chunk
+  FROM c0
+), hh AS (
+  SELECT doc_id, pos, chunk, {DUCK_HASH.format('chunk')} AS h FROM chunks
+), firsts AS (
+  SELECT h, MIN(doc_id * 1000000 + pos) AS fk FROM hh GROUP BY h
+), k AS (
+  SELECT hh.doc_id, hh.pos, hh.chunk,
+         (hh.doc_id * 1000000 + hh.pos) = f.fk AS keep
+  FROM hh JOIN firsts f ON hh.h = f.h
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_sort(list(struct_pack(pos := pos, chunk := chunk))
+                     FILTER (WHERE keep)),
+           x -> x.chunk), ' '), '') AS text,
+       COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_kept,
+       COUNT(*) AS n_total
+FROM k GROUP BY doc_id
+""",
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup (operators/dedup.paragraph_dedup):
+    a repeated paragraph survives only at its FIRST global occurrence
+    (min (doc_id, pos)); docs are reassembled from survivors in order,
+    with per-doc kept/total counts so nothing drops silently.  One shuffle
+    on the paragraph hash + one on doc_id for reassembly; the 'paragraph'
+    unit here is a 10-word window (the synthetic corpus is single-line;
+    real corpora pass a newline splitter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.paragraph_dedup(docs)
+
+
+@register(
     "sequence_packing",
     oracle=f"""
 WITH s AS (

@@ -105,3 +105,28 @@ def test_domain_mix_rates_hit_target_share(spark, tmp_path):
     langs = {r.lang for r in out}
     assert "zh" not in langs
     assert all(0 <= r.keep_ppm <= 1_000_000 for r in out)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """A paragraph repeated across docs survives only at its min (doc, pos)
+    occurrence; docs reassemble in order; counts are honest."""
+    from table_extractor_spark.operators.dedup import paragraph_dedup
+
+    p1 = " ".join(f"a{i}" for i in range(10))
+    p2 = " ".join(f"b{i}" for i in range(10))
+    p3 = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),        # first occurrences of p1, p2
+            (2, f"{p2} {p3}"),        # p2 repeated -> dropped; p3 kept
+            (3, f"{p1} {p2}"),        # everything repeated -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.text, r.n_kept, r.n_total)
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert got[1] == (f"{p1} {p2}", 2, 2)
+    assert got[2] == (p3, 1, 2)
+    assert got[3] == ("", 0, 2)
