@@ -216,7 +216,13 @@ def start_stream_near_dup_dedup(
         try:
             new_buckets = lsh_buckets(minhash_signatures(batch)).persist()
             try:
-                idx = spark_.read.parquet(index_dir)
+                # a RETRIED micro-batch must not verify against its own
+                # prior partial write — exclude this batch_id's partition
+                # (self-id pairs are filtered anyway; this makes the retry
+                # idempotence explicit rather than incidental)
+                idx = spark_.read.parquet(index_dir).filter(
+                    F.col("batch_id") != int(batch_id)
+                )
             except Exception:  # first batch: no index yet
                 idx = None
 

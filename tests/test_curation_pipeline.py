@@ -158,3 +158,17 @@ def test_connected_components_random_vs_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == union_find_components(edges, nodes), f"seed={seed}"
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph (worst case for naive propagation) collapses to
+    one component within the bounded iteration budget — the O(log n)
+    large-star/small-star contraction claim, pinned."""
+    from table_extractor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["a", "b"]
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(got) == set(range(65))
+    assert set(got.values()) == {0}
