@@ -2857,6 +2857,42 @@ def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_ngrams",
+    oracle="""
+WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len(w) - 2),
+    i -> array_to_string(w[i:i+2], ' ')
+  )) AS gram
+  FROM ws WHERE len(w) >= 3
+)
+SELECT gram, COUNT(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+""",
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate mining: the top-20 most-repeated word
+    3-grams (occurrence counts, not per-doc distinct) — the discovery pass
+    that feeds a boilerplate strip list.  groupBy + orderBy/limit plans as
+    partial-agg + TakeOrderedAndProject: no global sort of the n-gram
+    table, each partition ships only its own top candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.filter(
+        F.size(F.split("text", " ")) >= 3
+    ).select(
+        F.explode(D.word_shingles(F.col("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
     "paragraph_dedup",
     oracle=f"""
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
