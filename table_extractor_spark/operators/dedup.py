@@ -232,14 +232,34 @@ def lsh_oversized_buckets(
     )
 
 
+def _candidate_ids(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ids appearing on either side of the candidate pair list —
+    the verify stage's working set.  In incremental / streaming use this is
+    increment-sized by construction (new x corpus candidates), so semi-
+    joining it into the text side BEFORE shingling keeps verify cost
+    O(|candidates|), not O(|corpus|)."""
+    return (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3,
 ) -> DataFrame:
     """Exact k-gram Jaccard for the given candidate pairs:
     (a, b, n_common, n_union, jaccard).  jaccard is an exact int/int division
-    in double — engine-reproducible bit for bit."""
-    sets_ = df.select(
+    in double — engine-reproducible bit for bit.
+
+    ``df`` is pruned to ids that actually appear in ``pairs`` BEFORE the
+    shingle arrays are computed: rows outside the candidate set can never
+    reach the output (the pair joins are inner), and shingling them first
+    would make the verify stage scale with the corpus instead of with the
+    candidate list — the difference between a per-batch increment scan and
+    a full-index scan in the streaming shape."""
+    sets_ = df.join(_candidate_ids(pairs, id_col), id_col, "leftsemi").select(
         F.col(id_col).alias("sid"), shingle_hashes(F.col(text_col), k).alias("sh")
     )
     with_a = pairs.join(sets_.withColumnRenamed("sid", "a").withColumnRenamed("sh", "sha"), "a")
@@ -375,8 +395,9 @@ def ngram_containment(
     symmetric Jaccard under-scores as the size ratio grows.  Returns
     (a, b, n_common, containment_a_in_b, containment_b_in_a); exact int/int
     division in double, engine-reproducible bit for bit.  Joins only the
-    candidate pairs, never the cross product."""
-    sets_ = df.select(
+    candidate pairs, never the cross product; like ``ngram_jaccard`` the
+    text side is candidate-pruned before shingling."""
+    sets_ = df.join(_candidate_ids(pairs, id_col), id_col, "leftsemi").select(
         F.col(id_col).alias("sid"), shingle_hashes(F.col(text_col), k).alias("sh")
     )
     with_a = pairs.join(
@@ -470,12 +491,28 @@ def connected_components(
 
     e = edges.localCheckpoint()
     prev = fingerprint(e)
+    converged = False
     for _ in range(max_iters):
         e = small_star(large_star(e)).localCheckpoint()
         fp = fingerprint(e)
         if fp == prev:
+            converged = True
             break
         prev = fp
+    if not converged:
+        # one extra idempotence pass instead of trusting the fingerprint:
+        # a converged star is a fixed point of the round, so if one more
+        # round changes nothing we KNOW the labels are final — otherwise
+        # the graph genuinely needed more rounds and silently returning
+        # partial components would corrupt downstream keep/drop decisions.
+        extra = small_star(large_star(e)).localCheckpoint()
+        if fingerprint(extra) != prev:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iters} large-star/small-star rounds; raise max_iters "
+                f"(O(log n) rounds suffice for n nodes)"
+            )
+        e = extra
     # converged star: every edge is (member, component-min)
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     reps = e.select(F.col("v").alias("node"), F.col("v").alias("component"))

@@ -29,14 +29,24 @@ from typing import List, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .similarity import as_double
+from .similarity import as_double, quantized
 
 
-def _subvecs(vectors: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
-    """(vid, subspace, sv): the vector split into m contiguous chunks."""
+def _subvecs(
+    vectors: DataFrame, m: int, id_col: str, vec_col: str,
+    quantize: int | None = None,
+) -> DataFrame:
+    """(vid, subspace, sv): the vector split into m contiguous chunks.
+
+    ``quantize`` splits the integer-valued copy instead (see
+    ``similarity.quantized``): squared distances over it are sums of exact
+    integers — reproducible in any engine / summation order, which is what
+    the driver's DuckDB replay of PQ training and ADC scoring needs."""
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
+    if quantize:
+        v = v.select("vid", quantized(F.col("v"), quantize).alias("v"))
     dim_chunk = (F.size("v") / m).cast("int")
     return v.select(
         "vid",
@@ -65,11 +75,17 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample_mod: int = 1,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Train codebooks: (subspace, code, cv array<double>).
 
     Per-subspace Lloyd; seeding is deterministic (lowest vids').  Only the
-    m*k centroid arrays reach the driver between rounds.
+    m*k centroid arrays reach the driver between rounds.  With
+    ``quantize``, training runs on the integer-valued vector copy and the
+    centroid update floors to integers — every reduction becomes
+    IEEE-exact in any order, so the driver's DuckDB oracle can replay the
+    full training run hash-identically (same convention as
+    ``similarity.ivf_index``).
 
     ``train_sample_mod`` > 1 trains on the deterministic hash-sample
     pmod(xxhash64(vid), mod) = 0 — same convention as ``ivf_index``.  At
@@ -82,7 +98,10 @@ def pq_train(
         train = vectors.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
         )
-    sub = _subvecs(train, m, id_col, vec_col).persist()
+    sub = _subvecs(train, m, id_col, vec_col, quantize).persist()
+    mean_expr = (
+        F.floor(F.avg("x")).cast("double") if quantize else F.avg("x")
+    )
 
     seed = (
         sub.withColumn(
@@ -113,7 +132,7 @@ def pq_train(
         means = (
             assigned.select("subspace", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("subspace", "code", "pos")
-            .agg(F.avg("x").alias("mx"))
+            .agg(mean_expr.alias("mx"))
             .groupBy("subspace", "code")
             .agg(
                 F.transform(
@@ -134,9 +153,11 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
-    """(vid, codes array<int>): per-subspace nearest codebook centroid."""
-    sub = _subvecs(vectors, m, id_col, vec_col)
+    """(vid, codes array<int>): per-subspace nearest codebook centroid.
+    ``quantize`` must match the value the codebooks were trained with."""
+    sub = _subvecs(vectors, m, id_col, vec_col, quantize)
     best = (
         sub.join(F.broadcast(codebooks), "subspace")
         .withColumn("d", _l2sq(F.col("sv"), F.col("cv")))
@@ -165,13 +186,17 @@ def pq_search(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_dist, rank), smaller = closer.
 
     The per-query distance tables (queries x codebooks) broadcast; the codes
     table contributes one row per (vid, subspace) to the join and is never
-    re-shuffled on anything but its own id for the final sum."""
-    qsub = _subvecs(queries, m, id_col, vec_col).withColumnRenamed(
+    re-shuffled on anything but its own id for the final sum.  With
+    ``quantize`` (matching the codebooks' training), distances are in
+    quantized units — exact integers whose m-way sum is order-insensitive,
+    making the ranking engine-reproducible."""
+    qsub = _subvecs(queries, m, id_col, vec_col, quantize).withColumnRenamed(
         "vid", "query_id"
     )
     dist_tables = (

@@ -39,6 +39,21 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantized(vec_col, quantize: int) -> F.Column:
+    """Integer-valued double copy of the vector: round(x * quantize).
+
+    Every cross-ROW float reduction in ANN training (k-means cluster
+    means) is order-nondeterministic in the last ulp under partial
+    aggregation — and the driver's oracle gate compares ``repr(float)``.
+    On integer-valued doubles those sums are IEEE-exact in ANY order (the
+    magnitudes here are far below 2^53), so training, assignment, and
+    probe selection become bit-reproducible across engines and partition
+    counts; the ~1e-3-relative quantization error is noise next to the
+    approximation the ANN structure itself introduces (recall pinned in
+    tests either way)."""
+    return F.transform(vec_col, lambda x: F.round(x * quantize))
+
+
 def brute_force_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -77,17 +92,20 @@ def brute_force_topk(
 
 
 def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vid, v, vn, centroid_id): per-row argmax cosine against the
-    broadcast centroid set — no shuffle of the vectors."""
+    """(vid, v, vn, q, qn, centroid_id): per-row argmax cosine of the
+    TRAINING-space vector ``q`` against the broadcast centroid set — no
+    shuffle of the vectors.  ``q``/``qn`` equal ``v``/``vn`` when no
+    quantization is in play; the raw columns ride along untouched for the
+    final exact scoring."""
     scored = v.crossJoin(F.broadcast(centroids)).select(
-        "vid", "v", "vn", "centroid_id",
-        (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("sim"),
+        "vid", "v", "vn", "q", "qn", "centroid_id",
+        (dot(F.col("q"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), "centroid_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vid", "v", "vn", "centroid_id")
+        .select("vid", "v", "vn", "q", "qn", "centroid_id")
     )
 
 
@@ -95,6 +113,7 @@ def ivf_index(
     vectors: DataFrame, n_centroids: int = 16, kmeans_iters: int = 3,
     train_sample_mod: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> tuple:
     """Build an IVF index: ``(centroids_df, assignments_df)``.
 
@@ -113,11 +132,24 @@ def ivf_index(
     Empty clusters keep their previous centroid.  Persist ``assignments`` as
     the index table, clustered by ``centroid_id`` so a probe reads only its
     lists.
+
+    ``quantize`` switches training + assignment to the integer-valued
+    vector copy (see ``quantized``), with the centroid update floored to
+    integers — every reduction is then IEEE-exact regardless of engine,
+    partition count, or summation order, which is what lets the driver's
+    DuckDB oracle replay the whole training run hash-identically.  The
+    ``assignments``' raw ``v``/``vn`` columns are untouched: final search
+    scoring stays full-precision either way.
     """
     spark = vectors.sparkSession
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).select("vid", "v", norm(F.col("v")).alias("vn"))
+    )
+    qcol = quantized(F.col("v"), quantize) if quantize else F.col("v")
+    v = v.select("vid", "v", qcol.alias("q")).select(
+        "vid", "v", norm(F.col("v")).alias("vn"),
+        "q", norm(F.col("q")).alias("qn"),
+    )
 
     train = v
     if train_sample_mod > 1:
@@ -128,10 +160,14 @@ def ivf_index(
 
     centroids = (
         train.orderBy("vid").limit(n_centroids)
-        .select(F.col("vid").alias("centroid_id"), F.col("v").alias("cv"),
-                F.col("vn").alias("cn"))
+        .select(F.col("vid").alias("centroid_id"), F.col("q").alias("cv"))
     )
     cent_rows = centroids.select("centroid_id", "cv").collect()
+    # floor(avg) over integer-valued doubles is exact (integer sum, one
+    # deterministic division, one floor); plain avg keeps legacy behavior
+    mean_expr = (
+        F.floor(F.avg("x")).cast("double") if quantize else F.avg("x")
+    )
     for _ in range(max(kmeans_iters, 0)):
         cent_df = spark.createDataFrame(
             [(r.centroid_id, r.cv) for r in cent_rows],
@@ -139,9 +175,9 @@ def ivf_index(
         ).select("centroid_id", "cv", norm(F.col("cv")).alias("cn"))
         assigned = _assign_to_centroids(train, cent_df)
         means = (
-            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            assigned.select("centroid_id", F.posexplode("q").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(
@@ -171,6 +207,7 @@ def ivf_index(
 def ivf_probe_lists(
     centroids: DataFrame, queries: DataFrame, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """(query_id, qv, qn, centroid_id): each query's ``nprobe`` nearest lists.
 
@@ -178,13 +215,23 @@ def ivf_probe_lists(
     coarse-quantizer output shared by ``ivf_search`` and IVF-PQ candidate
     pruning: anything keyed by ``centroid_id`` (assignments, clustered PQ
     codes) can be list-pruned with a broadcast join against this frame
-    BEFORE any shuffle of the big side."""
+    BEFORE any shuffle of the big side.
+
+    With ``quantize``, list selection scores the integer-valued query copy
+    against the (integer-valued) trained centroids — probe choice is a
+    DISCRETE decision, so it gets the exact arithmetic; the returned
+    ``qv``/``qn`` stay raw for the final scoring."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
+    )
+    qq = quantized(F.col("qv"), quantize) if quantize else F.col("qv")
+    q = q.select("query_id", "qv", qq.alias("qq")).select(
+        "query_id", "qv", norm(F.col("qv")).alias("qn"),
+        "qq", norm(F.col("qq")).alias("qqn"),
+    )
     probe_scored = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "qv", "qn", "centroid_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("csim"),
+        (dot(F.col("qq"), F.col("cv")) / (F.col("qqn") * F.col("cn"))).alias("csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "centroid_id")
     return (
@@ -198,12 +245,17 @@ def ivf_search(
     centroids: DataFrame, assignments: DataFrame, queries: DataFrame,
     k: int = 3, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest centroid lists only.
 
     Join order at scale: queries x centroids is broadcast-tiny; the candidate
-    join hits only ~nprobe/n_centroids of the index."""
-    probes = ivf_probe_lists(centroids, queries, nprobe, id_col, vec_col)
+    join hits only ~nprobe/n_centroids of the index.  ``quantize`` must
+    match the value the index was built with (it controls probe-selection
+    arithmetic only — final cosines are always computed on the raw
+    vectors, rounded to 6 dp)."""
+    probes = ivf_probe_lists(centroids, queries, nprobe, id_col, vec_col,
+                             quantize)
     # broadcast the PROBES (|queries| x nprobe rows — small by construction),
     # never shuffle the index: the assignments table is the 10^9-vector side
     # and must stay where it is, list-pruned by the centroid filter
@@ -266,6 +318,7 @@ def sign_lsh_bucket(vec_col, planes: int = 8, table: int = 0) -> F.Column:
 def lsh_bucketed_neighbors(
     vectors: DataFrame, k: int = 3, planes: int = 4, tables: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH.
 
@@ -280,16 +333,22 @@ def lsh_bucketed_neighbors(
     more tables = higher recall at linear candidate cost.  At the defaults
     the measured recall@3 on the test embeddings (mean top-3 cosine only
     0.30 — weak neighbor structure) is ~0.55, vs ~0.68 for IDEAL Gaussian
-    hyperplanes at the same parameters."""
+    hyperplanes at the same parameters.
+
+    ``quantize`` computes the bucket ids on the integer-valued vector copy
+    (exact projections -> engine-reproducible buckets; the DuckDB oracle
+    replays them bit-for-bit); final cosines always use the raw vectors."""
     # stage the double cast, then buckets + norm FROM the staged column —
     # each is per-row work done once, not once per plane / per pair
     bucket_arr = F.array(
-        *[sign_lsh_bucket(F.col("v"), planes, table=t) for t in range(tables)]
+        *[sign_lsh_bucket(F.col("bv"), planes, table=t) for t in range(tables)]
     )
+    staged = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    bcol = quantized(F.col("v"), quantize) if quantize else F.col("v")
     b = (
-        vectors.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-        )
+        staged.select("vid", "v", bcol.alias("bv"))
         .select("vid", "v", bucket_arr.alias("buckets"), norm(F.col("v")).alias("vn"))
         .select(
             "vid", "v", "vn", F.posexplode("buckets").alias("tbl", "bucket")

@@ -44,11 +44,33 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
-# Queries already hash-green in the driver's CORRECTNESS_r02.json ledger.
-# The driver checks at most the FIRST 50 entries of queries() per round, so we
-# surface the not-yet-driver-ledgered queries first (their relative
-# registration order preserved) and the already-green ones after.  Pure
-# presentation ordering — registration order and query semantics are untouched.
+# The driver checks at most the FIRST 50 entries of queries() per round.
+# Round-4 window policy (pure presentation ordering — registration order and
+# query semantics are untouched):
+#   1. _R4_FRONT: queries that NEED a fresh driver row this round — the r3
+#      red row (paragraph_dedup, oracle rewritten), the three ANN queries
+#      (newly driver-checkable oracles), the triple family whose code
+#      changed in r3 but whose rows are pre-change r2, and the dedup/CC
+#      family the r4 candidate-prune + convergence-check changes touch;
+#   2. then the STALEST ledgered rows (r2 ledger, not re-sampled since r2)
+#      so driver-side regression coverage rotates instead of freezing;
+#   3. the r3-ledgered rows (freshest green) last.
+_R4_FRONT = (
+    "paragraph_dedup",
+    "ann_lsh_bucketed",
+    "ann_ivf_probed",
+    "ann_ivf_pq",
+    "emit_triples",
+    "ttl_lines",
+    "reification_index",
+    "ngram_jaccard_dedup",
+    "ngram_containment_dedup",
+    "near_dup_components",
+    "semantic_dedup_clusters",
+    "curation_survivors",
+)
+
+# Queries hash-green in the driver's CORRECTNESS_r02.json ledger.
 _DRIVER_LEDGERED_R02 = frozenset(
     {
         "extract_synthetic", "extract_media_linkage", "extract_link_spans",
@@ -75,9 +97,13 @@ _DRIVER_LEDGERED_R02 = frozenset(
 
 
 def _ordered_registry() -> List[Tuple[str, Callable, Optional[str]]]:
-    fresh = [e for e in _REGISTRY if e[0] not in _DRIVER_LEDGERED_R02]
-    ledgered = [e for e in _REGISTRY if e[0] in _DRIVER_LEDGERED_R02]
-    return fresh + ledgered
+    front_set = set(_R4_FRONT)
+    by_name = {e[0]: e for e in _REGISTRY}
+    front = [by_name[n] for n in _R4_FRONT if n in by_name]
+    rest = [e for e in _REGISTRY if e[0] not in front_set]
+    stale = [e for e in rest if e[0] in _DRIVER_LEDGERED_R02]
+    fresh3 = [e for e in rest if e[0] not in _DRIVER_LEDGERED_R02]
+    return front + stale + fresh3
 
 
 def queries() -> Dict[str, Callable]:
@@ -2894,38 +2920,40 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "paragraph_dedup",
+    # Version-robust SQL only (driver's DuckDB may differ from the local
+    # one): words via zipped unnest + generate_series, chunking via plain
+    # GROUP BY on (ord-1)/10 with string_agg(... ORDER BY ord), first
+    # occurrence via a ROW_NUMBER window ordered (doc_id, pos) — the exact
+    # lexicographic struct-min the Spark side uses — and reassembly via
+    # string_agg(... ORDER BY pos) FILTER.  No list slices, no list
+    # lambdas, no scalar (doc_id, pos) encodings anywhere on the
+    # comparison path (the r3 driver mismatch traced to exactly those
+    # constructs / that encoding).
     oracle=f"""
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-c0 AS (
+words AS (
   SELECT doc_id,
-         list_transform(
-           generate_series(1, CAST(ceil(len(w) / 10.0) AS INT)),
-           i -> array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')
-         ) AS cl
+         unnest(w) AS word,
+         unnest(generate_series(1, len(w))) AS ord
   FROM ws
 ), chunks AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(cl))) - 1 AS pos,
-         unnest(cl) AS chunk
-  FROM c0
+         CAST(floor((ord - 1) / 10.0) AS INT) AS pos,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM words GROUP BY doc_id, CAST(floor((ord - 1) / 10.0) AS INT)
 ), hh AS (
   SELECT doc_id, pos, chunk, {DUCK_HASH.format('chunk')} AS h FROM chunks
-), firsts AS (
-  SELECT h, MIN(doc_id * 1000000 + pos) AS fk FROM hh GROUP BY h
-), k AS (
-  SELECT hh.doc_id, hh.pos, hh.chunk,
-         (hh.doc_id * 1000000 + hh.pos) = f.fk AS keep
-  FROM hh JOIN firsts f ON hh.h = f.h
+), rk AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM hh
 )
 SELECT doc_id,
-       coalesce(array_to_string(
-         list_transform(
-           list_sort(list(struct_pack(pos := pos, chunk := chunk))
-                     FILTER (WHERE keep)),
-           x -> x.chunk), ' '), '') AS text,
-       COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_kept,
+       COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                '') AS text,
+       COALESCE(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS n_kept,
        COUNT(*) AS n_total
-FROM k GROUP BY doc_id
+FROM rk GROUP BY doc_id
 """,
 )
 def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3170,34 +3198,305 @@ def rare_word_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_rare_word_score(docs, ranks)
 
 
-# rows-only (no SQL oracle): approximate ANN via sign-LSH buckets — recall vs
-# the exact top-k is evaluated in tests, not hash-compared (approximation is
-# the point; the driver records the weaker rows-only check)
-@register("ann_lsh_bucketed", oracle=None)
+# --- driver-checkable ANN oracles ------------------------------------------
+#
+# The ANN family runs with quantize=ANN_Q (operators/similarity.quantized):
+# training, assignment, bucket, and probe arithmetic all happen on
+# integer-valued doubles, where every reduction is IEEE-exact in ANY
+# summation order — so the full k-means training run, the probe-list
+# choices, and the ADC ranking are bit-reproducible across engines and the
+# DuckDB oracle can REPLAY them (chained CTEs, one per Lloyd round) instead
+# of settling for a rows-only check.  Final cosines are computed on the raw
+# vectors and rounded to 6 dp (the construct the driver-green
+# embedding_cosine_topk oracle already pins).  Only version-robust SQL:
+# zipped unnest + plain GROUP BY / window functions on the comparison path.
+
+ANN_Q = 1000
+
+
+def _duck_ivf_cte(rounds: int, n_centroids: int = 16) -> str:
+    """CTE chain replaying similarity.ivf_index(quantize=ANN_Q): exploded
+    (vec_id, pos, x) integer vectors, seed = lowest-vid vectors, then per
+    round assign (argmax exact cosine, ties -> lower centroid id) and
+    update (floor(sum/count) — exact).  Ends with centroid table ``c{r}``
+    and full-corpus assignment ``afinal(vec_id, cid)``."""
+    parts = [f"""
+ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings),
+vq AS (SELECT vec_id,
+              unnest(list_transform(e, x -> round(x * {ANN_Q}))) AS x,
+              unnest(generate_series(1, len(e))) AS pos
+       FROM ve),
+vqn AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM vq GROUP BY vec_id),
+c0 AS (SELECT vq.vec_id AS cid, pos, x FROM vq
+       WHERE vec_id IN (SELECT vec_id FROM ve ORDER BY vec_id
+                        LIMIT {n_centroids}))"""]
+    for r in range(rounds):
+        parts.append(f"""
+c{r}n AS (SELECT cid, sqrt(SUM(x * x)) AS n FROM c{r} GROUP BY cid),
+sim{r} AS (
+  SELECT vq.vec_id, c.cid, SUM(vq.x * c.x) AS d
+  FROM vq JOIN c{r} c USING (pos) GROUP BY vq.vec_id, c.cid
+),
+a{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY s.d / (q.n * c.n) DESC, s.cid) AS rk
+    FROM sim{r} s JOIN vqn q ON s.vec_id = q.vec_id
+                  JOIN c{r}n c ON s.cid = c.cid
+  ) WHERE rk = 1
+),
+m{r} AS (
+  SELECT a.cid, vq.pos,
+         CAST(floor(SUM(vq.x) / COUNT(*)) AS DOUBLE) AS x
+  FROM a{r} a JOIN vq ON a.vec_id = vq.vec_id GROUP BY a.cid, vq.pos
+),
+c{r + 1} AS (
+  SELECT p.cid, p.pos, COALESCE(m.x, p.x) AS x
+  FROM c{r} p LEFT JOIN m{r} m ON p.cid = m.cid AND p.pos = m.pos
+)""")
+    parts.append(f"""
+cfn AS (SELECT cid, sqrt(SUM(x * x)) AS n FROM c{rounds} GROUP BY cid),
+simf AS (
+  SELECT vq.vec_id, c.cid, SUM(vq.x * c.x) AS d
+  FROM vq JOIN c{rounds} c USING (pos) GROUP BY vq.vec_id, c.cid
+),
+afinal AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY s.d / (q.n * c.n) DESC, s.cid) AS rk
+    FROM simf s JOIN vqn q ON s.vec_id = q.vec_id
+                JOIN cfn c ON s.cid = c.cid
+  ) WHERE rk = 1
+)""")
+    return ",".join(parts)
+
+
+# probe-list selection shared by the two IVF oracles: the nprobe nearest
+# (exact-arithmetic) centroid lists per query id below ``qmax``
+def _duck_ivf_probes(nprobe: int, qmax: int) -> str:
+    return f"""
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY s.d / (q.n * c.n) DESC, s.cid) AS rk
+    FROM simf s JOIN vqn q ON s.vec_id = q.vec_id
+                JOIN cfn c ON s.cid = c.cid
+    WHERE s.vec_id < {qmax}
+  ) WHERE rk <= {nprobe}
+)"""
+
+
+_DUCK_ANN_COS = """
+round(
+  list_sum(list_transform(generate_series(1, len(va.e)), i -> va.e[i] * vb.e[i]))
+  / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+     * sqrt(list_sum(list_transform(vb.e, x -> x * x)))), 6)
+"""
+
+_DUCK_ANN_TOPK = """
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
+def _duck_ann_lsh_bucket() -> str:
+    """DuckDB replica of similarity.sign_lsh_bucket over the quantized
+    vector ``q`` (planes=4; same hyperplane arithmetic the driver-green
+    embedding_near_dup_pairs oracle pins, 0-based dim i -> 1-based j)."""
+    terms = []
+    for p in range(4):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, len(q)), "
+            f"j -> q[j] * (CASE WHEN ((1 + (2*{p}+3+17*t.t)*(j+6)) % 13) - 6 >= 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 200),
+qv AS (SELECT vec_id, e, list_transform(e, x -> round(x * {ANN_Q})) AS q
+       FROM v),
+b AS (SELECT vec_id, t.t AS tbl, {_duck_ann_lsh_bucket()} AS bucket
+      FROM qv, generate_series(0, 7) t(t)),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                   AND l.vec_id <> r.vec_id
+),
+sims AS (
+  SELECT p.query_id, p.neighbor_id, {_DUCK_ANN_COS} AS cos_sim
+  FROM pairs p JOIN v va ON p.query_id = va.vec_id
+               JOIN v vb ON p.neighbor_id = vb.vec_id
+)
+{_DUCK_ANN_TOPK.format(k=3)}
+""",
+)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via multi-table sign-LSH, bucketed on the quantized
+    vector copy (engine-exact projections) — the DuckDB oracle replays
+    bucket generation, candidate pairing, and the exact-cosine top-k; the
+    recall-vs-exact contract stays in tests/test_similarity_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return S.lsh_bucketed_neighbors(emb, k=3)
+    return S.lsh_bucketed_neighbors(emb, k=3, quantize=ANN_Q)
 
 
-# rows-only: IVF-probed ANN — recall vs exact top-k is asserted in
-# tests/test_similarity_ann.py, not hash-compared (approximate by design)
-@register("ann_ivf_probed", oracle=None)
+@register(
+    "ann_ivf_probed",
+    oracle="WITH " + _duck_ivf_cte(rounds=3) + ","
+    + _duck_ivf_probes(nprobe=4, qmax=20)
+    + f""",
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN afinal a ON p.cid = a.cid
+  WHERE p.query_id <> a.vec_id
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id, {_DUCK_ANN_COS} AS cos_sim
+  FROM cands c JOIN ve va ON c.query_id = va.vec_id
+               JOIN ve vb ON c.neighbor_id = vb.vec_id
+)
+{_DUCK_ANN_TOPK.format(k=3)}
+""",
+)
 def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN, driver-replayable end to end: the oracle re-runs the
+    full deterministic training (3 Lloyd rounds over integer-quantized
+    vectors, floor-mean updates, lowest-vid seeding) as chained CTEs, then
+    the probe pruning and the raw-vector cosine top-k.  Recall vs the
+    exact top-k stays pinned in tests/test_similarity_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, assignments = S.ivf_index(emb, n_centroids=16)
+    centroids, assignments = S.ivf_index(emb, n_centroids=16, quantize=ANN_Q)
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return S.ivf_search(centroids, assignments, queries_df, k=3, nprobe=4)
+    return S.ivf_search(
+        centroids, assignments, queries_df, k=3, nprobe=4, quantize=ANN_Q
+    )
 
 
-# rows-only: IVF-PQ composition — coarse probe prunes to the nearest
-# centroid lists, ADC scores only those candidates against PQ codes; the
-# memory-layer behavior is pinned in tests/test_quantization.py
-@register("ann_ivf_pq", oracle=None)
+def _duck_pq_cte(rounds: int, m: int = 8, k: int = 16) -> str:
+    """CTE chain replaying quantization.pq_train(quantize=ANN_Q) +
+    pq_encode over the IVF-pruned candidates: subspace = (pos-1) / subdim
+    over the SAME exploded quantized vectors ``vq`` as the IVF chain
+    (dim/m inferred per row), seeds = the k lowest vids' subvectors with
+    code = vid rank - 1, per-round assign by exact squared distance (ties
+    -> lower code) and floor-mean update.  Ends with codebook ``pc{r}``
+    (subspace, code, pos, x)."""
+    parts = [f"""
+dims AS (SELECT CAST(MAX(pos) AS INT) AS d FROM vq),
+sv AS (SELECT vec_id,
+              CAST(floor((pos - 1) / floor(d / {m})) AS INT) AS subspace,
+              pos, x
+       FROM vq, dims),
+pseed AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT DISTINCT vec_id FROM sv) ORDER BY vec_id LIMIT {k}
+),
+pc0 AS (
+  SELECT s.subspace, p.code, s.pos, s.x
+  FROM sv s JOIN pseed p ON s.vec_id = p.vec_id
+)"""]
+    for r in range(rounds):
+        parts.append(f"""
+pd{r} AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         SUM((s.x - c.x) * (s.x - c.x)) AS d
+  FROM sv s JOIN pc{r} c ON s.subspace = c.subspace AND s.pos = c.pos
+  GROUP BY s.vec_id, s.subspace, c.code
+),
+pa{r} AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d, code) AS rk
+    FROM pd{r}
+  ) WHERE rk = 1
+),
+pm{r} AS (
+  SELECT a.subspace, a.code, s.pos,
+         CAST(floor(SUM(s.x) / COUNT(*)) AS DOUBLE) AS x
+  FROM pa{r} a JOIN sv s ON a.vec_id = s.vec_id AND a.subspace = s.subspace
+  GROUP BY a.subspace, a.code, s.pos
+),
+pc{r + 1} AS (
+  SELECT p.subspace, p.code, p.pos, COALESCE(m.x, p.x) AS x
+  FROM pc{r} p LEFT JOIN pm{r} m
+    ON p.subspace = m.subspace AND p.code = m.code AND p.pos = m.pos
+)""")
+    return ",".join(parts)
+
+
+@register(
+    "ann_ivf_pq",
+    oracle="WITH " + _duck_ivf_cte(rounds=2) + ","
+    + _duck_ivf_probes(nprobe=4, qmax=10) + ","
+    + _duck_pq_cte(rounds=2) + f""",
+plists AS (SELECT DISTINCT cid FROM probes),
+pcands AS (
+  SELECT a.vec_id FROM afinal a JOIN plists p ON a.cid = p.cid
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d, code) AS rk
+    FROM (
+      SELECT s.vec_id, s.subspace, c.code,
+             SUM((s.x - c.x) * (s.x - c.x)) AS d
+      FROM sv s
+      JOIN pcands pc ON s.vec_id = pc.vec_id
+      JOIN pc2 c ON s.subspace = c.subspace AND s.pos = c.pos
+      GROUP BY s.vec_id, s.subspace, c.code
+    )
+  ) WHERE rk = 1
+),
+dist_tables AS (
+  SELECT s.vec_id AS query_id, s.subspace, c.code,
+         SUM((s.x - c.x) * (s.x - c.x)) AS d
+  FROM sv s JOIN pc2 c ON s.subspace = c.subspace AND s.pos = c.pos
+  WHERE s.vec_id < 10
+  GROUP BY s.vec_id, s.subspace, c.code
+),
+sims AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id, round(SUM(t.d), 9) AS adc_dist
+  FROM codes cd JOIN dist_tables t
+    ON cd.subspace = t.subspace AND cd.code = t.code
+  GROUP BY t.query_id, cd.vec_id
+  HAVING t.query_id <> cd.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 3
+""",
+)
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, driver-replayable end to end: coarse probe prunes to the
+    nearest centroid lists, ADC scores only those candidates against PQ
+    codes.  The oracle replays BOTH deterministic training runs (IVF: 2
+    Lloyd rounds; PQ: per-subspace k-means, 2 rounds) over the quantized
+    vectors, the candidate pruning, the encoding of the pruned set, and
+    the integer-exact ADC ranking.  Memory-layer behavior stays pinned in
+    tests/test_quantization.py."""
     from ..operators.quantization import pq_encode, pq_search, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, assignments = S.ivf_index(emb, n_centroids=16, kmeans_iters=2)
+    centroids, assignments = S.ivf_index(
+        emb, n_centroids=16, kmeans_iters=2, quantize=ANN_Q
+    )
     queries_df = emb.filter(F.col("vec_id") < 10)
     # coarse probe: the queries' nprobe nearest LIST IDS (nprobe x |queries|
     # rows — broadcast-tiny).  Candidate pruning happens on the assignments
@@ -3206,16 +3505,17 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruning (the r2 version semi-joined full-corpus codes on vid, a
     # big-side SortMergeJoin; same candidate set, wrong side shuffled).
     probed_lists = (
-        S.ivf_probe_lists(centroids, queries_df, nprobe=4)
+        S.ivf_probe_lists(centroids, queries_df, nprobe=4, quantize=ANN_Q)
         .select("centroid_id").distinct()
     )
     cands = assignments.join(
         F.broadcast(probed_lists), "centroid_id", "leftsemi"
     )
-    cb = pq_train(emb, m=8, k=16, kmeans_iters=2)
+    cb = pq_train(emb, m=8, k=16, kmeans_iters=2, quantize=ANN_Q)
     # encode only the pruned candidates: one groupBy over the survivors
-    codes = pq_encode(cands, cb, m=8, id_col="vid", vec_col="v")
-    return pq_search(codes, cb, queries_df, topk=3, m=8)
+    codes = pq_encode(cands, cb, m=8, id_col="vid", vec_col="v",
+                      quantize=ANN_Q)
+    return pq_search(codes, cb, queries_df, topk=3, m=8, quantize=ANN_Q)
 
 
 # ===========================================================================

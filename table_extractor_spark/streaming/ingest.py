@@ -184,16 +184,24 @@ def start_stream_near_dup_dedup(
     4. drop batch docs that verify as dups of the corpus; collapse
        batch-internal dup clusters to one survivor (connected components,
        min id);
-    5. append survivors (docs to ``output_dir``, their buckets + texts to
-       ``index_dir``), both PARTITIONED BY batch_id with dynamic-partition
-       OVERWRITE — a retried micro-batch replaces its own partitions, so
-       the at-least-once foreachBatch becomes effectively exactly-once and
-       the index never double-counts a batch.
+    5. append survivors (docs to ``output_dir``, their buckets to
+       ``index_dir``/buckets and their texts — ONCE per doc — to
+       ``index_dir``/texts), all PARTITIONED BY batch_id with
+       dynamic-partition OVERWRITE — a retried micro-batch replaces its
+       own partitions, so the at-least-once foreachBatch becomes
+       effectively exactly-once and the index never double-counts a batch.
 
     The standing index grows by survivors only, so the verify set stays
     duplicate-free; at 10^12 docs the index is the big side and is only
     ever equi-joined on (band, bucket) — the batch side is the small one.
+    The per-batch verify cost is O(|candidates|), not O(|index|): texts
+    live in their own table (one row per doc — no per-batch ``distinct()``
+    over band-multiplied rows), and ``ngram_jaccard`` semi-joins the
+    candidate id set into its text side before computing any shingles, so
+    the index-side scan of the verify stage reads only docs that LSH
+    actually paired with this batch.
     """
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (
@@ -205,39 +213,66 @@ def start_stream_near_dup_dedup(
         ngram_jaccard,
     )
 
+    buckets_dir = index_dir + "/buckets"
+    texts_dir = index_dir + "/texts"
+
     docs = (
         spark.readStream.schema("doc_id string, text string")
         .parquet(input_dir)
     )
+
+    def read_index_part(spark_, path, batch_id):
+        """One index side, minus this batch's own partition (a RETRIED
+        micro-batch must not verify against its own prior partial write —
+        self-id pairs are filtered anyway; this makes the retry idempotence
+        explicit rather than incidental).  Only a missing path means
+        'first batch'; any other reader error must FAIL the batch so the
+        streaming retry re-runs it — swallowing, say, a transient
+        filesystem fault here would silently skip corpus dedup for the
+        batch and permanently admit its duplicates."""
+        try:
+            df = spark_.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
+        return df.filter(F.col("batch_id") != int(batch_id))
 
     def dedup_batch(batch_df, batch_id: int) -> None:
         spark_ = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").persist()
         try:
             new_buckets = lsh_buckets(minhash_signatures(batch)).persist()
-            try:
-                # a RETRIED micro-batch must not verify against its own
-                # prior partial write — exclude this batch_id's partition
-                # (self-id pairs are filtered anyway; this makes the retry
-                # idempotence explicit rather than incidental)
-                idx = spark_.read.parquet(index_dir).filter(
-                    F.col("batch_id") != int(batch_id)
-                )
-            except Exception:  # first batch: no index yet
-                idx = None
+            idx_buckets = read_index_part(spark_, buckets_dir, batch_id)
+            idx_texts = read_index_part(spark_, texts_dir, batch_id)
+            if (idx_buckets is None) != (idx_texts is None):
+                # one side missing: legal only when the present side is
+                # empty after excluding this batch's own partition (a
+                # batch-1 retry that crashed between the two index
+                # writes); anything else is a genuinely torn index and
+                # must fail the batch rather than silently skip dedup
+                present = idx_buckets if idx_buckets is not None else idx_texts
+                if present.limit(1).count() > 0:
+                    raise RuntimeError(
+                        f"standing index torn: exactly one of "
+                        f"{buckets_dir} / {texts_dir} has rows outside "
+                        f"batch {batch_id}"
+                    )
+                idx_buckets = idx_texts = None
 
             # candidate pairs: batch x index + batch x batch
             within = lsh_candidate_pairs(new_buckets)
-            if idx is not None:
-                corpus_b = idx.select("doc_id", "band", "bucket")
+            if idx_buckets is not None and idx_texts is not None:
+                corpus_b = idx_buckets.select("doc_id", "band", "bucket")
                 cross = (
                     lsh_incremental_candidate_pairs(new_buckets, corpus_b)
                     .unionByName(within)
                     .distinct()
                 )
-                texts = batch.unionByName(
-                    idx.select("doc_id", "text").distinct()
-                )
+                # one row per doc on both sides — ngram_jaccard's internal
+                # candidate semi-join prunes this to the pair working set
+                # before any shingle is computed
+                texts = batch.unionByName(idx_texts.select("doc_id", "text"))
             else:
                 cross = within
                 texts = batch
@@ -283,10 +318,12 @@ def start_stream_near_dup_dedup(
                 "left_anti",
             )
             out = survivors.withColumn("batch_id", F.lit(int(batch_id)))
-            idx_rows = (
+            idx_bucket_rows = (
                 new_buckets.join(survivors.select("doc_id"), "doc_id", "leftsemi")
-                .join(batch.select("doc_id", "text"), "doc_id")
                 .withColumn("batch_id", F.lit(int(batch_id)))
+            )
+            idx_text_rows = survivors.select("doc_id", "text").withColumn(
+                "batch_id", F.lit(int(batch_id))
             )
             prev = spark_.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", "static"
@@ -298,9 +335,12 @@ def start_stream_near_dup_dedup(
                 out.write.mode("overwrite").partitionBy("batch_id").parquet(
                     output_dir
                 )
-                idx_rows.write.mode("overwrite").partitionBy(
+                idx_bucket_rows.write.mode("overwrite").partitionBy(
                     "batch_id"
-                ).parquet(index_dir)
+                ).parquet(buckets_dir)
+                idx_text_rows.write.mode("overwrite").partitionBy(
+                    "batch_id"
+                ).parquet(texts_dir)
             finally:
                 spark_.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev

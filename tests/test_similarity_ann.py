@@ -119,3 +119,51 @@ def test_hash_sampled_training_matches_index_contract(spark):
     _, a = S.ivf_index(emb, n_centroids=16, kmeans_iters=2, train_sample_mod=4)
     assert a.count() == emb.count()
     assert a.select("vid").distinct().count() == emb.count()
+
+
+def test_quantized_ivf_keeps_recall(spark):
+    """The driver-oracled path (quantize=1000) must approximate as well as
+    the float path — quantization error is ~1e-3 relative, far below the
+    ANN structure's own approximation."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = topk_sets(S.brute_force_topk(emb, queries, k=3))
+    c, a = S.ivf_index(emb, n_centroids=16, quantize=1000)
+    approx = topk_sets(
+        S.ivf_search(c, a, queries, k=3, nprobe=4, quantize=1000)
+    )
+    r = recall(approx, exact)
+    assert r >= 0.5, f"quantized IVF recall@3 too low: {r}"
+
+
+def test_quantized_lsh_keeps_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    exact = topk_sets(S.brute_force_topk(emb, emb, k=3))
+    approx = topk_sets(S.lsh_bucketed_neighbors(emb, k=3, quantize=1000))
+    r = recall(approx, exact)
+    assert r >= 0.4, f"quantized sign-LSH recall@3 too low: {r}"
+
+
+def test_quantized_ivf_is_partition_invariant(spark):
+    """The point of quantize: training + assignment must be bit-identical
+    whatever the parallelism (cluster-size independence — the same property
+    the extraction bench pins via content hashes)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def run(parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            c, a = S.ivf_index(emb.repartition(parts), n_centroids=16,
+                               kmeans_iters=2, quantize=1000)
+            cents = sorted(
+                (r.centroid_id, tuple(r.cv)) for r in c.collect()
+            )
+            assign = sorted((r.vid, r.centroid_id) for r in a.collect())
+            return cents, assign
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert run(2) == run(17)

@@ -158,9 +158,40 @@ def test_stream_near_dup_dedup_standing_index(spark, tmp_path):
     kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept2 == {"doc_a", "doc_c", "doc_e"}
 
-    # the standing index holds exactly the survivors
+    # the standing index holds exactly the survivors, in BOTH parts
     index_docs = {
         r.doc_id
-        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+        for r in spark.read.parquet(idx + "/buckets")
+        .select("doc_id").distinct().collect()
     }
     assert index_docs == {"doc_a", "doc_c", "doc_e"}
+    # texts are stored ONCE per doc (no band multiplication, so the verify
+    # stage never needs a per-batch distinct() over the standing index)
+    text_rows = spark.read.parquet(idx + "/texts").select("doc_id").collect()
+    assert sorted(r.doc_id for r in text_rows) == ["doc_a", "doc_c", "doc_e"]
+
+
+def test_ngram_jaccard_verify_scan_is_candidate_pruned(spark):
+    """The verify stage's text-side scan must read O(candidates), not
+    O(corpus): ngram_jaccard semi-joins the candidate id set into the text
+    side BEFORE shingling (visible as a LeftSemi join in the optimized
+    plan), and its output only ever touches candidate ids."""
+    from table_extractor_spark.operators.dedup import (
+        ngram_containment,
+        ngram_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc_{i}", " ".join(f"w{i}_{j}" for j in range(20)))
+         for i in range(200)],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc_1", "doc_2"), ("doc_1", "doc_3")], "a string, b string"
+    )
+    for fn in (ngram_jaccard, ngram_containment):
+        out = fn(docs, pairs)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan, f"{fn.__name__} lost the candidate prune"
+        got = {r.a for r in out.collect()} | {r.b for r in out.collect()}
+        assert got <= {"doc_1", "doc_2", "doc_3"}
