@@ -2332,7 +2332,11 @@ def ngram_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a larger one; training-data dedup wants both signals."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs)
-    pairs = D.lsh_candidate_pairs(D.lsh_buckets(sigs))
+    # persist the candidate pairs: they feed the verify joins AND the
+    # candidate-id semi-join that prunes the shingle side (same shared-scan
+    # rule near_dup_pipeline documents — without it the LSH pipeline is
+    # recomputed three times)
+    pairs = D.lsh_candidate_pairs(D.lsh_buckets(sigs)).persist()
     return D.ngram_containment(docs, pairs)
 
 

@@ -260,7 +260,10 @@ def start_stream_near_dup_dedup(
                     )
                 idx_buckets = idx_texts = None
 
-            # candidate pairs: batch x index + batch x batch
+            # candidate pairs: batch x index + batch x batch.  Persisted:
+            # the pair list feeds the verify joins AND the candidate-id
+            # semi-join pruning the shingle side — unpersisted, the LSH
+            # pipeline would be recomputed three times per micro-batch.
             within = lsh_candidate_pairs(new_buckets)
             if idx_buckets is not None and idx_texts is not None:
                 corpus_b = idx_buckets.select("doc_id", "band", "bucket")
@@ -268,13 +271,14 @@ def start_stream_near_dup_dedup(
                     lsh_incremental_candidate_pairs(new_buckets, corpus_b)
                     .unionByName(within)
                     .distinct()
+                    .persist()
                 )
                 # one row per doc on both sides — ngram_jaccard's internal
                 # candidate semi-join prunes this to the pair working set
                 # before any shingle is computed
                 texts = batch.unionByName(idx_texts.select("doc_id", "text"))
             else:
-                cross = within
+                cross = within.persist()
                 texts = batch
 
             verified = ngram_jaccard(texts, cross).filter(
@@ -345,6 +349,7 @@ def start_stream_near_dup_dedup(
                 spark_.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
                 )
+                cross.unpersist()
                 new_buckets.unpersist()
         finally:
             batch.unpersist()
