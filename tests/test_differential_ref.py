@@ -201,6 +201,22 @@ if HAVE_HYPOTHESIS:
             '<img src="//up/x.jpg" alt="cap"/></a>',
         ]
     )
+    # inline decoration wiki pages actually contain inside cells: line
+    # breaks, small/sup/italic wrappers, HTML entities, references
+    _decor = st.sampled_from(
+        [
+            "",
+            "<br/>",
+            "<br>",
+            "<small>note</small>",
+            "<sup>1</sup>",
+            "<i>it</i>",
+            "<b>bold</b>",
+            "&amp;",
+            "&#160;",
+            '<span class="sortkey">07 !</span>',
+        ]
+    )
 
     @st.composite
     def _random_table(draw):
@@ -218,7 +234,8 @@ if HAVE_HYPOTHESIS:
                 )
                 anchor = "" if tag == "th" else draw(_anchor)
                 cells.append(
-                    f"<{tag}{draw(_attr)}>{anchor}{draw(_cell_text)}</{tag}>"
+                    f"<{tag}{draw(_attr)}>{anchor}{draw(_cell_text)}"
+                    f"{draw(_decor)}{draw(_cell_text)}</{tag}>"
                 )
             rows.append("<tr>" + "".join(cells) + "</tr>")
         return '<table class="wikitable">' + "".join(rows) + "</table>"

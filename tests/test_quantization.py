@@ -105,3 +105,34 @@ def test_pq_train_sampled_recall_and_scan(spark):
         4, "vec_id", "embedding",
     ).count()
     assert sub_rows == sample_n * 4
+
+
+def test_quantized_pq_is_partition_invariant(spark):
+    """quantize=1000 must make PQ training + encoding + ADC ranking
+    bit-identical whatever the parallelism — the property that lets the
+    driver's DuckDB oracle replay the training run (same contract as
+    similarity.ivf_index; cluster-size independence)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def run(parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            src = emb.repartition(parts)
+            cb = pq_train(src, m=8, k=16, kmeans_iters=2, quantize=1000)
+            codes = pq_encode(src, cb, m=8, quantize=1000)
+            ranked = pq_search(codes, cb, queries, topk=3, m=8,
+                               quantize=1000)
+            return (
+                sorted((r.subspace, r.code, tuple(r.cv))
+                       for r in cb.collect()),
+                sorted((r.vid, tuple(r.codes)) for r in codes.collect()),
+                sorted(tuple(r) for r in ranked.collect()),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert run(3) == run(19)
