@@ -56,6 +56,7 @@ def register(name: str, oracle: Optional[str] = None):
 #      so driver-side regression coverage rotates instead of freezing;
 #   3. the r3-ledgered rows (freshest green) last.
 _R4_FRONT = (
+    "bpe_pair_counts",
     "paragraph_dedup",
     "ann_lsh_bucketed",
     "ann_ivf_probed",
@@ -2919,6 +2920,48 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "gram")
         .limit(20)
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+pos AS (
+  SELECT word, n, unnest(generate_series(1, length(word))) AS i FROM wc
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS a,
+         CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+              ELSE '</w>' END AS b,
+         n
+  FROM pos
+)
+SELECT a, b, SUM(n) AS cnt FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 30
+""",
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, round-1 discovery (operators/bpe): the
+    top-30 adjacent symbol pairs over the corpus word-TYPE table
+    (characters + end-of-word marker), weighted by word count — the pair
+    the full ``bpe_train`` loop would merge first is row 1.  All integer
+    counts and string equality; the corpus collapses to word types before
+    any pair work, so the per-round cost at 10^12 docs tracks |vocab|,
+    not |tokens|.  Training-loop semantics (greedy non-overlap merges,
+    tie order) are differentially pinned against a textbook reference in
+    tests/test_bpe.py."""
+    from ..operators import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        BP.pair_counts(BP.word_symbol_table(docs))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(30)
     )
 
 

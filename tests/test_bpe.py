@@ -1,0 +1,105 @@
+"""Distributed BPE vs a pure-Python textbook reference, plus determinism
+and scale-shape pins."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from table_extractor_spark.operators import bpe as B
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bpe(word_counts: dict, n_merges: int, min_pair_count: int = 2):
+    """Textbook BPE (Sennrich et al. 2016 pseudo-code shape): greedy
+    left-to-right non-overlapping merges, most-frequent pair first, ties
+    (count desc, left asc, right asc)."""
+    vocab = {
+        tuple(list(w) + [B.END_OF_WORD]): n for w, n in word_counts.items()
+    }
+    rules = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        rules.append((rank, a, b, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return rules
+
+
+def _word_counts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return {r.w: r.n for r in rows}
+
+
+def test_bpe_train_matches_textbook_reference(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = B.bpe_train(docs, n_merges=12)
+    want = _py_bpe(_word_counts(spark), n_merges=12)
+    assert got == want
+
+
+def test_bpe_greedy_merge_nonoverlap(spark):
+    """'aaa' + (a,a) must become [aa, a] — the left-to-right greedy scan,
+    not all-overlapping-pairs."""
+    df = spark.createDataFrame([(["a", "a", "a", "a", "a"],)], "syms array<string>")
+    out = df.select(B.apply_merge(F.col("syms"), "a", "a").alias("m")).collect()
+    assert out[0].m == ["aa", "aa", "a"]
+
+
+def test_bpe_train_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    r1 = B.bpe_train(docs.repartition(2), n_merges=6)
+    r2 = B.bpe_train(docs.repartition(13), n_merges=6)
+    assert r1 == r2 and len(r1) == 6
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding rebuilds each document exactly: concatenating the subword
+    tokens (markers stripped) gives back the whitespace-joined words."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    rules = B.bpe_train(docs, n_merges=8)
+    enc = B.bpe_encode(docs, rules)
+    rows = enc.select("text", "bpe_tokens").collect()
+    assert rows
+    for r in rows:
+        rebuilt = "".join(r.bpe_tokens).replace(B.END_OF_WORD, " ").rstrip()
+        assert rebuilt == " ".join(w for w in r.text.split(" ") if w != "")
+    # the learned merges actually compress: fewer tokens than the INITIAL
+    # symbol count (characters + one end-of-word marker per word)
+    n_tok = enc.select(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+    n_char = enc.select(
+        F.sum(F.size(F.split(F.regexp_replace("text", " ", ""), "")))
+    ).collect()[0][0]
+    n_words = enc.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda w: w != "")))
+    ).collect()[0][0]
+    assert n_tok < n_char + n_words
