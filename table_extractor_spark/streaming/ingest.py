@@ -364,3 +364,49 @@ def start_stream_near_dup_dedup(
     if q.isActive:  # pragma: no cover - defensive
         q.stop()
     return q
+
+
+def compact_near_dup_index(
+    spark: SparkSession, index_dir: str, batch_ids=None
+) -> None:
+    """Small-file maintenance for the standing near-dup index.
+
+    Every micro-batch appends its own ``batch_id=N`` partition with one
+    file per write task; at 10^12 docs and thousands of batches the index
+    becomes a per-file-open tax on every verify read.  This rewrites each
+    index table with ONE file per batch partition — rows verbatim, same
+    layout, same dynamic-partition overwrite the ingest itself uses, so
+    the retry-idempotence contract is untouched (a batch retry still
+    replaces its whole partition; compaction is just an earlier writer of
+    identical content).  Run it from the maintenance schedule between
+    drains — not concurrently with an active writer of the same
+    partitions (the usual single-writer rule for table maintenance).
+
+    The pass materializes its working set (``localCheckpoint``) before
+    overwriting the same path — required for read-then-overwrite safety.
+    ``batch_ids`` bounds that working set: at corpus scale, compact a
+    sliding window of recent batches per pass (older partitions are
+    already one file from earlier passes) instead of the whole index.
+    """
+    from pyspark.sql import functions as F
+
+    for part in ("buckets", "texts"):
+        path = f"{index_dir}/{part}"
+        df = spark.read.parquet(path)
+        if batch_ids is not None:
+            df = df.filter(F.col("batch_id").isin([int(b) for b in batch_ids]))
+        # repartition BY the partition column: each batch's rows collapse
+        # into the task owning that hash -> exactly one file per partition
+        compacted = df.repartition(F.col("batch_id")).localCheckpoint()
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            compacted.write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )

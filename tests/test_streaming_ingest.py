@@ -195,3 +195,108 @@ def test_ngram_jaccard_verify_scan_is_candidate_pruned(spark):
         assert "LeftSemi" in plan, f"{fn.__name__} lost the candidate prune"
         got = {r.a for r in out.collect()} | {r.b for r in out.collect()}
         assert got <= {"doc_1", "doc_2", "doc_3"}
+
+
+def test_torn_standing_index_fails_batch(spark, tmp_path):
+    """If exactly one of the index's buckets/texts tables has rows outside
+    the current batch, the micro-batch must FAIL (streaming retry re-runs
+    it) rather than silently skip corpus dedup — a torn index admitted
+    duplicates permanently under the old bare-except behavior."""
+    import os
+    import shutil
+
+    import pytest
+
+    from table_extractor_spark.streaming.ingest import (
+        start_stream_near_dup_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckp = str(tmp_path / "ckp")
+    os.makedirs(inp)
+
+    spark.createDataFrame(
+        [("doc_a", " ".join(f"tok{i}" for i in range(30)))],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
+    assert spark.read.parquet(idx + "/texts").count() == 1
+
+    # tear the index: texts gone, buckets (with batch-0 rows) remain
+    shutil.rmtree(idx + "/texts")
+    spark.createDataFrame(
+        [("doc_b", " ".join(f"other{i}" for i in range(30)))],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises((RuntimeError, StreamingQueryException)) as exc:
+        start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
+    assert "torn" in str(exc.value)
+
+
+def test_compact_near_dup_index_preserves_dedup(spark, tmp_path):
+    """Compaction rewrites each index partition to one file with rows
+    verbatim: file counts drop, contents are identical, and a post-
+    compaction batch still dedups against the standing index."""
+    import glob
+    import os
+
+    from table_extractor_spark.streaming.ingest import (
+        compact_near_dup_index,
+        start_stream_near_dup_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    ckp = str(tmp_path / "ckp")
+    os.makedirs(inp)
+
+    base = " ".join(f"tok{i}" for i in range(30))
+
+    def land(rows):
+        # several input files -> several write tasks -> several index files
+        spark.createDataFrame(
+            rows, "doc_id string, text string"
+        ).repartition(4).write.mode("append").parquet(inp)
+
+    land([(f"doc_{j}", " ".join(f"w{j}_{i}" for i in range(30)))
+          for j in range(8)] + [("doc_a", base + " ending one")])
+    start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
+
+    def texts_files():
+        return glob.glob(f"{idx}/texts/batch_id=*/*.parquet")
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(idx + "/texts")
+            .select("doc_id", "text").collect()
+        )
+
+    # fragment the batch partition the way a LARGE batch write would (one
+    # file per write task): rewrite the same rows from 4 tasks
+    frag = spark.read.parquet(idx + "/texts").repartition(4).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        frag.write.mode("overwrite").partitionBy("batch_id").parquet(
+            idx + "/texts"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    before_rows, before_files = snapshot(), len(texts_files())
+    assert before_files > 1
+    compact_near_dup_index(spark, idx)
+    assert len(texts_files()) == 1
+    assert snapshot() == before_rows
+
+    # a later batch still dedups against the compacted standing index
+    land([("doc_dup", base + " ending two"),
+          ("doc_new", " ".join(f"fresh{i}" for i in range(30)))])
+    start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert "doc_new" in kept and "doc_dup" not in kept
