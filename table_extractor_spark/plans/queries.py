@@ -57,6 +57,7 @@ def register(name: str, oracle: Optional[str] = None):
 #   3. the r3-ledgered rows (freshest green) last.
 _R4_FRONT = (
     "bpe_pair_counts",
+    "bpe_merges",
     "paragraph_dedup",
     "ann_lsh_bucketed",
     "ann_ivf_probed",
@@ -2962,6 +2963,96 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         BP.pair_counts(BP.word_symbol_table(docs))
         .orderBy(F.col("cnt").desc(), "a", "b")
         .limit(30)
+    )
+
+
+def _duck_bpe_merges(n_merges: int) -> str:
+    """CTE chain replaying operators.bpe.bpe_train: the corpus collapses
+    to the word-type table ``s0`` (word, n, pos, sym — chars + end-of-word
+    marker), then one CTE group per merge round: pair counts over adjacent
+    positions, argmax (cnt desc, lhs, rhs), greedy LEFT-TO-RIGHT
+    NON-OVERLAPPING merge via gaps-and-islands (consecutive match starts
+    form an island; keep even offsets — 'aaa' + (a,a) merges once), and a
+    re-ranked rewrite.  All integer counts + string equality: the replay
+    is exact whatever the engine."""
+    parts = ["""
+wc AS (
+  SELECT w AS word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT word, n, i AS pos,
+         CASE WHEN i <= length(word) THEN substr(word, i, 1)
+              ELSE '</w>' END AS sym
+  FROM (SELECT word, n, unnest(generate_series(1, length(word) + 1)) AS i
+        FROM wc)
+)"""]
+    for r in range(n_merges):
+        parts.append(f"""
+pc{r} AS (
+  SELECT s1.sym AS a, s2.sym AS b, SUM(s1.n) AS cnt
+  FROM s{r} s1 JOIN s{r} s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+  GROUP BY s1.sym, s2.sym
+),
+top{r} AS MATERIALIZED (SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
+mstart{r} AS (
+  SELECT s1.word, s1.pos
+  FROM s{r} s1
+  JOIN s{r} s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+  JOIN top{r} t ON s1.sym = t.a AND s2.sym = t.b
+),
+isl{r} AS (
+  SELECT word, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+  FROM mstart{r}
+),
+keep{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM isl{r}
+  ) WHERE off % 2 = 0
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT word, n,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+  FROM (
+    SELECT s.word, s.n, s.pos,
+           CASE WHEN k.pos IS NOT NULL THEN t.a || t.b ELSE s.sym END AS sym
+    FROM s{r} s
+    CROSS JOIN top{r} t
+    LEFT JOIN keep{r} k ON s.word = k.word AND s.pos = k.pos
+    WHERE NOT EXISTS (SELECT 1 FROM keep{r} kb
+                      WHERE kb.word = s.word AND kb.pos = s.pos - 1)
+  )
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r} AS rank, a AS lhs, b AS rhs, cnt FROM top{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",".join(parts) + finals + "\nORDER BY rank"
+
+
+BPE_MERGES = 6
+
+
+@register("bpe_merges", oracle=_duck_bpe_merges(BPE_MERGES))
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge-rule table itself, driver-replayable: Spark
+    runs the distributed training loop (operators/bpe.bpe_train — word-type
+    collapse, per-round pair counts, greedy non-overlap rewrite, O(1)
+    driver rows per round) and the oracle re-derives every round's winning
+    pair and rewrite in pure SQL.  Complements ``bpe_pair_counts`` (the
+    round-1 discovery view) and the textbook differential in
+    tests/test_bpe.py."""
+    from ..operators import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = BP.bpe_train(docs, n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, a, b, c in rules],
+        "rank int, lhs string, rhs string, cnt bigint",
     )
 
 
