@@ -140,26 +140,92 @@ def bpe_train(
     return rules
 
 
+# above this many merge rules, the nested-expression encoder would emit a
+# plan whose depth grows with the vocabulary (codegen/analysis cost per
+# rule) — production vocabularies (32k+ merges) go through the Arrow path
+EXPR_ENCODE_MAX_RULES = 64
+
+
 def bpe_encode(
     df: DataFrame,
     rules: List[Tuple[int, str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    method: str = "auto",
 ) -> DataFrame:
     """Tokenize each document with the learned merges, applied in rank
     order per word — the inference side of the vocabulary.  Adds
     ``out_col`` (array<string> of subword tokens, end-of-word markers
-    attached).  Pure per-row column expressions: zero shuffles, zero
-    Python."""
+    attached).
 
-    def encode_word(w):
-        s = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
-        for _, a, b, _cnt in sorted(rules):
-            s = apply_merge(s, a, b)
-        return s
+    ``method``:
 
-    per_word = F.transform(
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
-        encode_word,
-    )
-    return df.withColumn(out_col, F.flatten(per_word))
+    * ``"expr"`` — pure per-row column expressions (zero shuffles, zero
+      Python, whole-stage-codegen'd), but the plan nests one fold per
+      merge rule: right for small/experimental vocabularies;
+    * ``"arrow"`` — one ``mapInPandas`` stage applying the merge table in
+      Python per Arrow batch: plan size independent of vocabulary, the
+      right shape for production 32k+-merge vocabularies (the standard
+      exception this engine allows itself — a kernel Spark's expression
+      language cannot express at size — same policy as the extraction
+      kernel's single MapInArrow stage);
+    * ``"auto"`` — expr up to ``EXPR_ENCODE_MAX_RULES`` rules, else arrow.
+
+    Both paths implement the identical greedy left-to-right
+    non-overlapping merge and are pinned equal in tests/test_bpe.py."""
+    if method == "auto":
+        method = "expr" if len(rules) <= EXPR_ENCODE_MAX_RULES else "arrow"
+    if method == "expr":
+        def encode_word(w):
+            s = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
+            for _, a, b, _cnt in sorted(rules):
+                s = apply_merge(s, a, b)
+            return s
+
+        per_word = F.transform(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+            encode_word,
+        )
+        return df.withColumn(out_col, F.flatten(per_word))
+    if method != "arrow":
+        raise ValueError(f"unknown bpe_encode method: {method!r}")
+
+    merge_list = [(a, b) for _, a, b, _cnt in sorted(rules)]
+    out_fields = df.schema.fields
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + f", `{out_col}` array<string>"
+
+    def encode_batches(batches):
+        # per-word memo: corpora repeat words heavily, so each distinct
+        # word is merged once per batch stream, not once per occurrence
+        memo: dict = {}
+
+        def encode_word(word: str):
+            got = memo.get(word)
+            if got is None:
+                syms = list(word) + [END_OF_WORD]
+                for a, b in merge_list:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                got = memo[word] = syms
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in (text or "").split(" ") if w != ""
+                 for t in encode_word(w)]
+                for text in pdf[text_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=schema)

@@ -103,3 +103,25 @@ def test_bpe_encode_roundtrip(spark):
         F.sum(F.size(F.filter(F.split("text", " "), lambda w: w != "")))
     ).collect()[0][0]
     assert n_tok < n_char + n_words
+
+
+def test_bpe_encode_arrow_matches_expr(spark):
+    """The Arrow (mapInPandas) encoder — the production path for 32k+
+    vocabularies — must produce exactly the expression path's tokens."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    rules = B.bpe_train(docs, n_merges=8)
+
+    def snap(method):
+        return sorted(
+            (r.doc_id, tuple(r.bpe_tokens))
+            for r in B.bpe_encode(docs, rules, method=method)
+            .select("doc_id", "bpe_tokens").collect()
+        )
+
+    assert snap("arrow") == snap("expr")
+    # auto dispatches by rule count
+    big = rules * 20  # fake >64 rules to exercise the dispatch threshold
+    assert len(big) > B.EXPR_ENCODE_MAX_RULES
+    out = B.bpe_encode(docs, big, method="auto")
+    assert "mapInPandas" in out._jdf.queryExecution().logical().toString() \
+        or "MapInPandas" in out._jdf.queryExecution().logical().toString()
