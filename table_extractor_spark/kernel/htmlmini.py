@@ -94,7 +94,12 @@ class Element:
 def _parse_attrs(raw: str) -> dict:
     attrs: dict = {}
     for m in _ATTR_RE.finditer(raw):
+        # libxml2's HTML parser (what the reference sees through lxml)
+        # lowercases attribute names as well as tag names — COLSPAN="2"
+        # must resolve like colspan="2"
         name = m.group(1)
+        if not name.islower():
+            name = name.lower()
         value = m.group(3)
         if value is None:
             value = m.group(4)
@@ -116,6 +121,7 @@ def parse_fragment(markup: str) -> Element:
     """
     root = Element("#root")
     stack: List[Element] = [root]
+    top = root  # cached stack[-1]: saves two index loads per tag/text event
     pos = 0
     # hot loop: bind globals/attributes to locals; ~150 tags per table and
     # every document goes through here, so constant factors matter
@@ -129,26 +135,29 @@ def parse_fragment(markup: str) -> Element:
             if "&" in text:  # unescape only when an entity can exist
                 text = unescape(text)
             if text:
-                kids = stack[-1].children
+                kids = top.children
                 if kids and isinstance(kids[-1], str):
                     kids[-1] += text  # merge adjacent text nodes
                 else:
                     kids.append(text)
         pos = end
         closing, tag, rawattrs, selfclose = m.groups()
-        tag = tag.lower()
+        if not tag.islower():  # islower scans without allocating; real-world
+            tag = tag.lower()  # markup is almost always lowercase already
         if closing:
             # pop to the matching open tag, if present anywhere on the stack
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
+                    top = stack[-1]
                     break
             continue
         # implicit closes (e.g. a <tr> closes a still-open <tr>/<td>/<th>)
         closers = implicit(tag)
         if closers:
-            while len(stack) > 1 and stack[-1].tag in closers:
+            while len(stack) > 1 and top.tag in closers:
                 stack.pop()
+                top = stack[-1]
         # most tags carry no attributes: skip the parse without allocating a
         # stripped copy (isspace never allocates)
         node = Element(
@@ -157,15 +166,16 @@ def parse_fragment(markup: str) -> Element:
             if rawattrs and not rawattrs.isspace()
             else None,
         )
-        stack[-1].children.append(node)
+        top.children.append(node)
         if not selfclose and tag not in void:
             stack.append(node)
+            top = node
     if pos < len(markup):
         tail = markup[pos:]
         if "&" in tail:
             tail = unescape(tail)
         if tail:
-            kids = stack[-1].children
+            kids = top.children
             if kids and isinstance(kids[-1], str):
                 kids[-1] += tail
             else:

@@ -189,7 +189,10 @@ if HAVE_HYPOTHESIS:
     _attr = st.sampled_from(
         ["", ' rowspan="2"', ' colspan="2"', ' rowspan="3" colspan="2"',
          ' colspan="0"', ' colspan="zz"', ' rowspan="1"',
-         ' colspan=" 2 "', " colspan='3'"]
+         ' colspan=" 2 "', " colspan='3'",
+         # libxml2 lowercases attribute names: these must act like their
+         # lowercase twins (pinned by the differential)
+         ' COLSPAN="2"', ' RowSpan="2"']
     )
     # anchor flavors: blue link (title attr), red link (class=new), image
     _anchor = st.sampled_from(

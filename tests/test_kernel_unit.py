@@ -261,3 +261,29 @@ def test_clean_corpus_has_zero_kernel_errors():
     for r in corpus_rows():
         _, m = extract_document(r["doc_id"], r["spans"])
         assert m["kernel_errors"] == 0, r["doc_id"]
+
+
+def test_parser_lowercases_tag_and_attribute_names():
+    """libxml2 (the reference's parser via lxml.html) lowercases element
+    AND attribute names; uppercase markup must behave like its lowercase
+    twin end to end."""
+    from table_extractor_spark.kernel.document import extract_document
+    from table_extractor_spark.kernel.htmlmini import parse_fragment
+
+    t = parse_fragment('<TABLE CLASS="wikitable"><TR><TD COLSPAN="2">x</TD></TR></TABLE>')
+    tab = t.children[0]
+    assert tab.tag == "table" and tab.attrib == {"class": "wikitable"}
+    assert tab.children[0].children[0].attrib == {"colspan": "2"}
+
+    lower = '<table class="wikitable"><tr><th>h</th><th>i</th></tr>' \
+            '<tr><td colspan="2">1</td></tr></table>'
+    # uppercase the markup SYNTAX only (tag + attribute names; content and
+    # the case-sensitive class VALUE stay as-is)
+    upper = '<TABLE CLASS="wikitable"><TR><TH>h</TH><TH>i</TH></TR>' \
+            '<TR><TD COLSPAN="2">1</TD></TR></TABLE>'
+    spans = lambda text: extract_document(
+        "d", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}]
+    )
+    out_l, m_l = spans(lower)
+    out_u, m_u = spans(upper)
+    assert out_l == out_u and m_l == m_u and m_l["tables_num"] == 1
