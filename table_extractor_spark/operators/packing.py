@@ -55,3 +55,43 @@ def pack_sequences(
     ).withColumn(
         "bin_id", F.floor(F.col("start_offset") / seq_len).cast("long")
     )
+
+
+def assemble_shards(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eod: str = "<|eod|>",
+) -> DataFrame:
+    """(shard, bin_id, shard_text, n_docs, n_tokens): the actual training
+    shard payloads — each (shard, bin) concatenates its documents in the
+    canonical packing order with an end-of-document separator.
+
+    This is the writer stage on top of ``pack_sequences``: one join of the
+    packing index back to the texts (hash join on the doc id; at corpus
+    scale WRITE the index and sort-merge against the doc table instead)
+    and one shuffle on (shard, bin).  Order inside a bin is by
+    ``start_offset`` — unique within a shard and monotone in the canonical
+    (hash, id) order — so the assembled text is deterministic whatever the
+    partitioning; the array_sort-of-structs reassembly is the same
+    engine-exact pattern ``paragraph_dedup`` uses."""
+    idx = pack_sequences(docs, seq_len, n_shards, text_col, id_col)
+    joined = idx.join(docs.select(id_col, text_col), id_col)
+    return (
+        joined.groupBy("shard", "bin_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start_offset", text_col))
+                    ),
+                    lambda s: s.getField(text_col),
+                ),
+                eod,
+            ).alias("shard_text"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

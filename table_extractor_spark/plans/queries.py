@@ -58,6 +58,8 @@ def register(name: str, oracle: Optional[str] = None):
 _R4_FRONT = (
     "bpe_pair_counts",
     "bpe_merges",
+    "shard_assembly",
+    "domain_mix_temperature",
     "paragraph_dedup",
     "ann_lsh_bucketed",
     "ann_ivf_probed",
@@ -3138,6 +3140,40 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=512, n_shards=32)
 
 
+@register(
+    "shard_assembly",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {DUCK_HASH.format("CAST(doc_id AS VARCHAR)")} % 32 AS shard,
+         {DUCK_HASH.format("CAST(doc_id AS VARCHAR)")} AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, text, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM s
+)
+SELECT shard, CAST(floor(start_offset / 512) AS BIGINT) AS bin_id,
+       string_agg(text, '<|eod|>' ORDER BY start_offset) AS shard_text,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+FROM o GROUP BY shard, CAST(floor(start_offset / 512) AS BIGINT)
+""",
+)
+def shard_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard payload assembly (operators/packing.assemble_shards):
+    each (shard, bin) concatenates its documents in canonical packing
+    order with an end-of-document separator — the writer stage of the
+    packing index, deterministic whatever the partitioning (order inside a
+    bin is by start_offset, itself a pure function of the doc hash)."""
+    from ..operators.packing import assemble_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assemble_shards(docs, seq_len=512, n_shards=32)
+
+
 # target pre-training language mix (parts-per-million); zh deliberately 0
 # to exercise the drop-a-domain path end to end
 _MIX_PPM = {"en": 500_000, "de": 200_000, "fr": 200_000, "es": 100_000, "zh": 0}
@@ -3190,6 +3226,48 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = spark_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h % 1_000_000 < F.col("keep_ppm"))
+        .select("doc_id", "lang", "keep_ppm")
+    )
+
+
+@register(
+    "domain_mix_temperature",
+    oracle=f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS n_min FROM c),
+rates AS (
+  SELECT lang,
+         CAST(floor(1000000 * sqrt(CAST(mn.n_min AS DOUBLE) / n)) AS BIGINT)
+           AS keep_ppm
+  FROM c, mn
+)
+SELECT d.doc_id, d.lang, r.keep_ppm
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {DUCK_HASH.format("'mixt:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+      < r.keep_ppm
+""",
+)
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-pretraining
+    alternative to fixed target shares): sampled counts ∝ n^alpha with
+    alpha = 1/2, i.e. keep rate (n_min/n)^(1/2) with the rarest language
+    kept whole.  alpha = 1/2 specifically so the rate is a single sqrt —
+    IEEE-correctly-rounded, unlike general pow — times one division and a
+    floor: bit-deterministic in every engine, same integer-ppm hash-
+    threshold mechanism as ``domain_mix_sample``."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n")).collect()[0][0]
+    rates = counts.select(
+        "lang",
+        F.floor(
+            F.lit(1_000_000) * F.sqrt(F.lit(n_min).cast("double") / F.col("n"))
+        ).cast("long").alias("keep_ppm"),
+    )
+    h = spark_hash(F.concat(F.lit("mixt:"), F.col("doc_id").cast("string")))
     return (
         docs.join(F.broadcast(rates), "lang")
         .filter(h % 1_000_000 < F.col("keep_ppm"))
