@@ -243,3 +243,28 @@ def test_topk_plans_use_partial_limits(spark):
     for name in ("heavy_hitters", "q3_shipping_priority"):
         plan = formatted(Q.queries()[name](spark, SF))
         assert "TakeOrdered" in plan, (name, plan)
+
+
+def test_round4_queries_plan_shape(spark):
+    """r4 additions keep the plans we'd want at 100 TB: BPE pair counting
+    is pure partial-aggregation (no joins, no Python), shard assembly adds
+    exactly the index join + one grouping shuffle, and temperature mixing
+    touches the corpus through a broadcast rate join only."""
+    from table_extractor_spark.plans import queries as Q
+
+    q = Q.queries()
+    plan = formatted(q["bpe_pair_counts"](spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    for bad in ("Join", "InPandas", "EvalPython", "MapInArrow"):
+        assert bad not in plan, plan
+
+    plan = formatted(q["domain_mix_temperature"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+    plan = formatted(q["shard_assembly"](spark, SF))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
