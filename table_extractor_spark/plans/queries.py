@@ -779,7 +779,7 @@ base AS (SELECT d.doc_id, d.lang, g.i FROM d, g)
 SELECT doc_id, i * 1000 + 2 AS t_order,
        '<http://dbpedia.org/resource/' || doc_id || '__'
          || CAST(i AS VARCHAR) || '> '
-       || '<http://dbpedia.org/resource/'
+       || '<http://dbpedia.org/ontology/'
          || CASE WHEN lang = 'en' THEN 'dbo:word_en' ELSE 'dbo:word' END
          || '> '
        || '<img://' || doc_id || '/r' || CAST(i - 1 AS VARCHAR) || '.jpg>'
@@ -805,7 +805,7 @@ def ttl_lines_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT doc_id, t_order,
        '<http://dbpedia.org/resource/' || subject || '> '
-       || '<http://dbpedia.org/resource/' || predicate || '> '
+       || '<http://dbpedia.org/ontology/' || predicate || '> '
        || CASE WHEN object_kind = 'resource'
                THEN '<http://dbpedia.org/resource/' || object || '>'
                ELSE '"' || object || '"' END

@@ -230,14 +230,29 @@ def _ttl_escape_iri(c: Column) -> Column:
     return out
 
 
-def ttl_lines(triples: DataFrame, base_uri: str = "http://dbpedia.org/resource/") -> DataFrame:
+def ttl_lines(
+    triples: DataFrame,
+    base_uri: str = "http://dbpedia.org/resource/",
+    ontology_uri: str = "http://dbpedia.org/ontology/",
+) -> DataFrame:
     """S5: serialize triples to Turtle text lines (one string column), the
     DataFrame equivalent of graph.serialize(dest, 'turtle')
     (Analyzer.py:198-245).  Write with ``df.write.text``.  Literals are
     ECHAR-escaped and data-derived URI terms percent-encoded, so the output
-    parses as Turtle whatever the cell text contains."""
+    parses as Turtle whatever the cell text contains.
+
+    Namespaces follow the reference's Mapper exactly (Mapper.py:76-81,
+    100-113, confirmed against its PUBLISHED extraction outputs under
+    Extractions/): subjects and resource-valued objects live under dbr
+    (``base_uri``), mapped PROPERTIES under dbo (``ontology_uri``) — the
+    r3-and-earlier serializer put predicates under dbr, which no reference
+    .ttl ever does."""
     uri = lambda c: F.concat(  # noqa: E731
         F.lit("<"), F.lit(base_uri), _ttl_escape_iri(c), F.lit(">")
+    )
+    pred = F.concat(
+        F.lit("<"), F.lit(ontology_uri), _ttl_escape_iri(F.col("predicate")),
+        F.lit(">"),
     )
     lit = lambda c: F.concat(F.lit('"'), _ttl_escape_literal(c), F.lit('"'))  # noqa: E731
     obj = (
@@ -259,7 +274,7 @@ def ttl_lines(triples: DataFrame, base_uri: str = "http://dbpedia.org/resource/"
         "doc_id",
         "t_order",
         F.concat_ws(
-            " ", uri(F.col("subject")), uri(F.col("predicate")), obj, F.lit(".")
+            " ", uri(F.col("subject")), pred, obj, F.lit(".")
         ).alias("line"),
     )
 

@@ -107,3 +107,36 @@ def test_write_ttl_globally_ordered(spark, tmp_path):
         for r in ttl_lines(t).orderBy("doc_id", "t_order").collect()
     ]
     assert concat == expected
+
+
+def test_ttl_namespaces_match_published_reference_output(spark):
+    """Parity against the reference's PUBLISHED extraction output (read-only
+    fixture shipped in its repo): subjects/objects under dbr, predicates
+    under dbo.  The published BasketballPlayer .ttl contains the expanded
+    reification triple our serializer must reproduce term for term."""
+    import os
+
+    from table_extractor_spark.plans.triples import ttl_lines
+
+    path = ("/root/reference/Extractions/GSoC 2017 Results/"
+            "Basketball - English/2017_08_18-23_36_T_Ext_en_BasketballPlayer.ttl")
+    if not os.path.exists(path):  # pragma: no cover - fixture optional
+        import pytest
+        pytest.skip("reference extraction output not present")
+    text = open(path, encoding="utf-8").read()
+    assert "@prefix ns1: <http://dbpedia.org/ontology/>" in text
+    assert ("<http://dbpedia.org/resource/Adia_Mathies> ns1:statistics "
+            "<http://dbpedia.org/resource/Adia_Mathies__1>") in text
+
+    t = spark.createDataFrame(
+        [("Adia_Mathies", "Adia_Mathies", "statistics", "Adia_Mathies__1",
+          "resource", 0)],
+        ["doc_id", "subject", "predicate", "object", "object_kind",
+         "t_order"],
+    )
+    line = ttl_lines(t).collect()[0].line
+    assert line == (
+        "<http://dbpedia.org/resource/Adia_Mathies> "
+        "<http://dbpedia.org/ontology/statistics> "
+        "<http://dbpedia.org/resource/Adia_Mathies__1> ."
+    )
