@@ -808,7 +808,8 @@ SELECT doc_id, t_order,
        || '<http://dbpedia.org/ontology/' || predicate || '> '
        || CASE WHEN object_kind = 'resource'
                THEN '<http://dbpedia.org/resource/' || object || '>'
-               ELSE '"' || object || '"' END
+               ELSE '"' || object
+                    || '"^^<http://www.w3.org/2001/XMLSchema#string>' END
        || ' .' AS line
 FROM triples
 """,

@@ -268,7 +268,16 @@ def ttl_lines(
                 F.lit("^^<http://www.w3.org/2001/XMLSchema#float>"),
             ),
         )
-        .otherwise(lit(F.col("object")))
+        # the reference types plain strings EXPLICITLY
+        # (Mapper.check_value_type: Literal(..., datatype=XSD.string);
+        # published .ttl shows "..."^^xsd:string) — term-identical to a
+        # plain literal under RDF 1.1, serialized the reference's way
+        .otherwise(
+            F.concat(
+                lit(F.col("object")),
+                F.lit("^^<http://www.w3.org/2001/XMLSchema#string>"),
+            )
+        )
     )
     return triples.select(
         "doc_id",

@@ -140,3 +140,24 @@ def test_ttl_namespaces_match_published_reference_output(spark):
         "<http://dbpedia.org/ontology/statistics> "
         "<http://dbpedia.org/resource/Adia_Mathies__1> ."
     )
+
+
+def test_ttl_string_literal_typed_like_reference(spark):
+    """The published reference output types plain strings explicitly
+    ("..."^^xsd:string, Mapper.check_value_type) — our serializer emits
+    the identical term."""
+    from table_extractor_spark.plans.triples import ttl_lines
+
+    t = spark.createDataFrame(
+        [("d", "s", "p", "Guard", "string", 0),
+         ("d", "s", "p", "12.5", "float", 1)],
+        ["doc_id", "subject", "predicate", "object", "object_kind",
+         "t_order"],
+    )
+    lines = [r.line for r in ttl_lines(t).orderBy("t_order").collect()]
+    assert lines[0].endswith(
+        '"Guard"^^<http://www.w3.org/2001/XMLSchema#string> .'
+    )
+    assert lines[1].endswith(
+        '"12.5"^^<http://www.w3.org/2001/XMLSchema#float> .'
+    )

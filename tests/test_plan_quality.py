@@ -125,7 +125,8 @@ def test_ttl_lines_escape_turtle(spark):
     lines = {r.doc_id: r.line for r in ttl_lines(t).collect()}
     assert lines["d 1"] == (
         "<http://dbpedia.org/resource/he%20said%20%22hi%22%5Cnow> "
-        '<http://dbpedia.org/resource/pred%60x> "val\\\\ue\\t\\"q\\"\\nz" .'
+        '<http://dbpedia.org/ontology/pred%60x> "val\\\\ue\\t\\"q\\"\\nz"'
+        "^^<http://www.w3.org/2001/XMLSchema#string> ."
     )
     assert lines["d2"].split(" ")[2] == "<img://a%20b/%3Cc%3E.jpg>"
     assert lines["d4"].split(" ")[2] == (
