@@ -566,13 +566,24 @@ def extract_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "header_inventory",
+    # version-robust construct only (the r3 paragraph_dedup incident):
+    # top-3 examples via a ROW_NUMBER window + string_agg ORDER BY, not
+    # list_sort + list-slice
     oracle="""
-SELECT h.header, COUNT(*) AS n_tables,
-       array_to_string(
-         (list_sort(list('doc_' || CAST(d.doc_id AS VARCHAR))))[1:3],
-         ',') AS examples
-FROM documents d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
-GROUP BY h.header
+WITH hx AS (
+  SELECT h.header, 'doc_' || CAST(d.doc_id AS VARCHAR) AS name
+  FROM documents d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
+), rk AS (
+  SELECT header, name,
+         ROW_NUMBER() OVER (PARTITION BY header ORDER BY name) AS rn
+  FROM hx
+), ex AS (
+  SELECT header, string_agg(name, ',' ORDER BY name) AS examples
+  FROM rk WHERE rn <= 3 GROUP BY header
+)
+SELECT rk.header, COUNT(*) AS n_tables, ex.examples
+FROM rk JOIN ex ON rk.header = ex.header
+GROUP BY rk.header, ex.examples
 """,
 )
 def header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,11 +848,20 @@ WITH d AS (
 ), sh AS (
   SELECT section, h.header, doc_id
   FROM d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
+), rk AS (
+  SELECT section, header, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY section, header
+                            ORDER BY doc_id) AS rn
+  FROM sh
+), ex AS (
+  SELECT section, header,
+         string_agg(doc_id, ',' ORDER BY doc_id) AS examples
+  FROM rk WHERE rn <= 3 GROUP BY section, header
 )
-SELECT section, header, COUNT(*) AS n_tables,
-       array_to_string((list_sort(list(doc_id)))[1:3], ',') AS examples,
-       CASE WHEN header = 'Word' THEN 'dbo:word' ELSE '' END AS property
-FROM sh GROUP BY section, header
+SELECT rk.section, rk.header, COUNT(*) AS n_tables, ex.examples,
+       CASE WHEN rk.header = 'Word' THEN 'dbo:word' ELSE '' END AS property
+FROM rk JOIN ex ON rk.section = ex.section AND rk.header = ex.header
+GROUP BY rk.section, rk.header, ex.examples
 """,
 )
 def settings_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,9 +1583,18 @@ def distinct_header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "section_grouping",
     oracle="""
-SELECT event_type, COUNT(*) AS n,
-       array_to_string((list_sort(list(DISTINCT user_id)))[1:3], ',') AS examples
-FROM events GROUP BY event_type
+WITH cnt AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+rk AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY user_id) AS rn
+  FROM du
+), ex AS (
+  SELECT event_type, string_agg(user_id, ',' ORDER BY user_id) AS examples
+  FROM rk WHERE rn <= 3 GROUP BY event_type
+)
+SELECT c.event_type, c.n, ex.examples
+FROM cnt c JOIN ex ON c.event_type = ex.event_type
 """,
 )
 def section_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
