@@ -72,6 +72,10 @@ _R4_FRONT = (
     "near_dup_components",
     "semantic_dedup_clusters",
     "curation_survivors",
+    # oracle rewritten window-style in r4 (list_sort hardening) but its
+    # registration slot fell outside the 50-row window — promote so the
+    # changed oracle gets a fresh driver row
+    "section_grouping",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r02.json ledger.
