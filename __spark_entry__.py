@@ -7,8 +7,11 @@ and returns the normalized output-span DataFrame.
 ``queries()``/``oracle_sql()`` expose the full operator battery from
 ``table_extractor_spark.plans.queries`` — one entry per implemented operator
 from SURVEY.md §2 plus the training-data operators (dedup, similarity, text
-analysis), each with a DuckDB-runnable ANSI oracle unless inherently
-approximate (then rows-only).
+analysis, tokenizer induction, packing/mixing).  Since round 4 EVERY
+registered query carries a DuckDB-runnable ANSI oracle: the approximate
+(ANN) and iterative (k-means, PQ, BPE) families run integer-exact and
+their oracles REPLAY the full deterministic training, so no rows-only
+checks remain.
 """
 
 from __future__ import annotations
@@ -35,6 +38,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL for each query (omitted for the inherently
-    approximate ops, which the driver checks rows-only)."""
+    """DuckDB-equivalent ANSI SQL for every registered query."""
     return _q.oracle_sql()
