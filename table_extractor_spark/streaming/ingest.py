@@ -199,7 +199,13 @@ def start_stream_near_dup_dedup(
     over band-multiplied rows), and ``ngram_jaccard`` semi-joins the
     candidate id set into its text side before computing any shingles, so
     the index-side scan of the verify stage reads only docs that LSH
-    actually paired with this batch.
+    actually paired with this batch.  Scan I/O follows suit at corpus
+    scale: Spark's runtime Bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default)
+    pushes a filter built from the broadcast id side into parquet scans
+    larger than its 10 GiB application-side threshold — i.e. exactly the
+    standing-index texts table at 10^12 docs — so row groups without
+    candidates are skipped, not just left unshingled.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
