@@ -161,3 +161,23 @@ def test_ttl_string_literal_typed_like_reference(spark):
     assert lines[1].endswith(
         '"12.5"^^<http://www.w3.org/2001/XMLSchema#float> .'
     )
+
+
+def test_ttl_lines_corpus_wide_turtle_shape(spark):
+    """Every line the serializer emits over the synthesized corpus must
+    match the N-Triples-style production: IRI IRI (IRI | literal
+    [^^datatype]) '.' — with no unescaped quote/newline/angle inside any
+    term.  A corpus-wide grammar guard on top of the construct-level
+    escaping test."""
+    import re
+
+    from table_extractor_spark.plans import queries as Q
+
+    iri = r"<[^<>\"{}|^`\\\x00-\x20]*>"
+    literal = r'"(?:[^"\\\n\r]|\\.)*"(?:\^\^' + iri + r")?"
+    line_re = re.compile(rf"^{iri} {iri} (?:{iri}|{literal}) \.$")
+
+    rows = Q.queries()["ttl_lines"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    bad = [r.line for r in rows if not line_re.match(r.line)]
+    assert bad == [], bad[:3]
