@@ -100,6 +100,10 @@ def test_emit_triples_reification_has_no_rejoin(spark):
     import re
     from table_extractor_spark.plans import queries as Q
 
+    # this pins the COLD plan: a prior test may have left the shared parse
+    # stage persisted (session-scoped SparkSession), which would hide the
+    # MapInArrow stage behind an InMemoryTableScan and flip the counts
+    spark.catalog.clearCache()
     plan = formatted(Q.queries()["emit_triples"](spark, SF))
     nodes = re.findall(r"^\((\d+)\) ([A-Za-z]+)", plan, re.M)
     kinds = [k for _, k in nodes]
