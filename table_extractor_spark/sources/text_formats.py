@@ -1,0 +1,78 @@
+"""JSONL / CSV document sources with AUDITABLE corrupt-record handling.
+
+Web-scale corpora rarely arrive as clean parquet: crawl processors emit
+JSON-lines (one document per line) and tabular exports emit CSV.  At
+10^12 documents some fraction of lines is always malformed (truncated
+writes, encoding damage, schema drift), and the two failure modes to
+avoid are silently DROPPING them (mode=DROPMALFORMED — coverage loss
+nobody sees) and failing the whole job on one bad line (mode=FAILFAST).
+
+These readers use PERMISSIVE mode with an explicit corrupt-record
+column and return ``(good_df, bad_df)``: well-formed rows with the
+enforced schema, plus the raw text of every malformed line for the run's
+metrics/quarantine sink — the same no-silent-drop principle as the LSH
+giant-bucket report (``lsh_oversized_buckets``).
+
+Schema is always enforced explicitly (never inferred): at corpus scale
+schema inference is an extra full scan AND a correctness hazard (a batch
+whose sample happens to be all-numeric flips a column's type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# the engine's canonical flat document schema (documents.parquet shape)
+DOCUMENTS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+_CORRUPT = "_corrupt_record"
+
+
+def _split_good_bad(df: DataFrame, columns: list) -> tuple:
+    # Spark refuses to query ONLY the corrupt-record column of an
+    # un-cached PERMISSIVE read (internal raw-record restriction) — cache
+    # the parsed frame once, then branch
+    df = df.cache()
+    good = df.filter(F.col(_CORRUPT).isNull()).select(*columns)
+    bad = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_record")
+    )
+    return good, bad
+
+
+def load_documents_jsonl(
+    spark: SparkSession, path: str, schema_ddl: str = DOCUMENTS_DDL
+) -> tuple:
+    """(good_df, bad_df) from JSON-lines: one document object per line,
+    schema ENFORCED, malformed lines preserved verbatim for quarantine."""
+    full = f"{schema_ddl}, {_CORRUPT} string"
+    cols = [c.strip().split()[0] for c in schema_ddl.split(",")]
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    return _split_good_bad(df, cols)
+
+
+def load_documents_csv(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = DOCUMENTS_DDL,
+    header: bool = True,
+) -> tuple:
+    """(good_df, bad_df) from CSV with the same contract; quoted fields
+    and embedded newlines handled by the multiLine parser."""
+    full = f"{schema_ddl}, {_CORRUPT} string"
+    cols = [c.strip().split()[0] for c in schema_ddl.split(",")]
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", "true" if header else "false")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return _split_good_bad(df, cols)
