@@ -6,7 +6,15 @@ For each ``queries()[name]``:
   * compare row count, column-name set, and an order-insensitive value hash
     (columns sorted by name, every value normalized to a string, rows sorted).
 
-Usage: python3 scripts/selfcheck_oracle.py [name ...]
+Usage: python3 scripts/selfcheck_oracle.py [--pandas] [name ...]
+
+``--pandas`` switches to the fetch path a typical driver harness uses —
+DuckDB ``rel.df()`` (pandas) instead of ``fetchall()``, and a NAIVE
+``str(value)`` normalization instead of the int-collapsing one.  This is
+the mode that catches the r4 driver-red class: DuckDB promotes integer SUM
+to HUGEINT, ``.df()`` renders that float64 ('3' -> '3.0'), and only a
+naive normalization surfaces the mismatch.  Run both modes before
+registering a new query.
 """
 
 from __future__ import annotations
@@ -47,10 +55,34 @@ def norm_value(v):
     return str(v)
 
 
-def frame_fingerprint(cols, rows):
+def naive_norm(v):
+    """Driver-harness-shaped normalization: plain str(), no float/Decimal
+    canonicalization — so type drift between engines (e.g. HUGEINT ->
+    float64 under a pandas fetch) is VISIBLE instead of papered over."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(naive_norm(x) for x in v) + "]"
+    try:  # numpy arrays from a pandas fetch
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(naive_norm(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.generic):
+            return str(v.item())
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, float) and v != v:
+        return "NaN"
+    return str(v)
+
+
+def frame_fingerprint(cols, rows, norm=norm_value):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "\x01".join(norm_value(r[i]) for i in order) for r in rows
+        "\x01".join(norm(r[i]) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for line in lines:
@@ -60,7 +92,10 @@ def frame_fingerprint(cols, rows):
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    pandas_mode = "--pandas" in args
+    only = set(a for a in args if not a.startswith("--"))
+    norm = naive_norm if pandas_mode else norm_value
     import __spark_entry__ as entry
     from tests.conftest import make_spark
 
@@ -95,7 +130,13 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            if pandas_mode:
+                pdf = rel.df()
+                orows = [
+                    tuple(r) for r in pdf.itertuples(index=False, name=None)
+                ]
+            else:
+                orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
@@ -106,15 +147,15 @@ def main():
         if sorted(cols) != sorted(ocols):
             problems.append(f"columns {sorted(cols)} != {sorted(ocols)}")
         if not problems:
-            fp_s = frame_fingerprint(cols, rows)
-            fp_o = frame_fingerprint(ocols, orows)
+            fp_s = frame_fingerprint(cols, rows, norm)
+            fp_o = frame_fingerprint(ocols, orows, norm)
             if fp_s != fp_o:
                 problems.append("value-hash mismatch")
                 # show a differing sample
                 order_s = sorted(range(len(cols)), key=lambda i: cols[i])
                 order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("|".join(norm_value(r[i]) for i in order_s) for r in rows)
-                lo = sorted("|".join(norm_value(r[i]) for i in order_o) for r in orows)
+                ls = sorted("|".join(norm(r[i]) for i in order_s) for r in rows)
+                lo = sorted("|".join(norm(r[i]) for i in order_o) for r in orows)
                 for a, b in zip(ls, lo):
                     if a != b:
                         problems.append(f"  spark: {a[:300]}")

@@ -229,3 +229,23 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(encode_batches, schema=schema)
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "text",
+) -> DataFrame:
+    """Invert ``bpe_encode``: concatenate the subword stream and split
+    words back out on the end-of-word marker.
+
+    Merge-RANK independent — every rule only ever concatenates symbols
+    WITHIN a word and the ``</w>`` marker always terminates it, so decode
+    needs no rule table and holds for any learned vocabulary:
+    ``decode(encode(text)) == normalized text`` (words joined by single
+    spaces, empty tokens dropped).  Pure JVM column ops, zero shuffles."""
+    joined = F.array_join(F.col(tokens_col), "")
+    words = F.filter(
+        F.split(joined, END_OF_WORD), lambda w: w != F.lit("")
+    )
+    return df.withColumn(out_col, F.array_join(words, " "))

@@ -21,6 +21,7 @@ whose sample happens to be all-numeric flips a column's type).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 # the engine's canonical flat document schema (documents.parquet shape)
 DOCUMENTS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -28,11 +29,18 @@ DOCUMENTS_DDL = "doc_id bigint, text string, lang string, source string, n_chars
 _CORRUPT = "_corrupt_record"
 
 
-def _split_good_bad(df: DataFrame, columns: list) -> tuple:
+def _split_good_bad(
+    df: DataFrame, columns: list, storage_level: StorageLevel
+) -> tuple:
     # Spark refuses to query ONLY the corrupt-record column of an
-    # un-cached PERMISSIVE read (internal raw-record restriction) — cache
-    # the parsed frame once, then branch
-    df = df.cache()
+    # un-cached PERMISSIVE read (internal raw-record restriction) —
+    # persist the parsed frame once, then branch.  The storage level is
+    # the caller's scale dial: MEMORY_AND_DISK is right at fixture scale,
+    # but a 100 TB quarantine read should pass DISK_ONLY — a full-corpus
+    # memory cache for one pass is pure executor-memory pressure (it
+    # evicts shuffle/agg working memory and buys nothing once each
+    # partition has been read by both branches).
+    df = df.persist(storage_level)
     good = df.filter(F.col(_CORRUPT).isNull()).select(*columns)
     bad = df.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw_record")
@@ -41,10 +49,17 @@ def _split_good_bad(df: DataFrame, columns: list) -> tuple:
 
 
 def load_documents_jsonl(
-    spark: SparkSession, path: str, schema_ddl: str = DOCUMENTS_DDL
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = DOCUMENTS_DDL,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> tuple:
     """(good_df, bad_df) from JSON-lines: one document object per line,
-    schema ENFORCED, malformed lines preserved verbatim for quarantine."""
+    schema ENFORCED, malformed lines preserved verbatim for quarantine.
+
+    ``storage_level`` sizes the one-pass persist backing both branches;
+    pass ``StorageLevel.DISK_ONLY`` for corpus-scale reads (see
+    ``_split_good_bad``)."""
     full = f"{schema_ddl}, {_CORRUPT} string"
     cols = [c.strip().split()[0] for c in schema_ddl.split(",")]
     df = (
@@ -53,7 +68,7 @@ def load_documents_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    return _split_good_bad(df, cols)
+    return _split_good_bad(df, cols, storage_level)
 
 
 def load_documents_csv(
@@ -61,9 +76,11 @@ def load_documents_csv(
     path: str,
     schema_ddl: str = DOCUMENTS_DDL,
     header: bool = True,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> tuple:
     """(good_df, bad_df) from CSV with the same contract; quoted fields
-    and embedded newlines handled by the multiLine parser."""
+    and embedded newlines handled by the multiLine parser; same
+    ``storage_level`` scale dial as the JSONL reader."""
     full = f"{schema_ddl}, {_CORRUPT} string"
     cols = [c.strip().split()[0] for c in schema_ddl.split(",")]
     df = (
@@ -75,4 +92,4 @@ def load_documents_csv(
         .option("escape", '"')
         .csv(path)
     )
-    return _split_good_bad(df, cols)
+    return _split_good_bad(df, cols, storage_level)

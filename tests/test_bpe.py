@@ -125,3 +125,27 @@ def test_bpe_encode_arrow_matches_expr(spark):
     out = B.bpe_encode(docs, big, method="auto")
     assert "mapInPandas" in out._jdf.queryExecution().logical().toString() \
         or "MapInPandas" in out._jdf.queryExecution().logical().toString()
+
+
+def test_bpe_decode_inverts_encode(spark):
+    """bpe_decode is the rank-independent inverse of bpe_encode: the
+    distributed decoder reconstructs each document's normalized text
+    (nonempty words joined by single spaces) for any learned vocabulary,
+    entirely in JVM column ops."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    rules = B.bpe_train(docs, n_merges=8)
+    dec = B.bpe_decode(B.bpe_encode(docs, rules), out_col="decoded")
+    rows = dec.select("text", "decoded").collect()
+    assert rows
+    for r in rows:
+        normalized = " ".join(w for w in r.text.split(" ") if w != "")
+        assert r.decoded == normalized
+    # also holds with zero rules (pure char vocabulary)
+    dec0 = B.bpe_decode(B.bpe_encode(docs, []), out_col="decoded")
+    bad = dec0.filter(
+        F.col("decoded")
+        != F.array_join(
+            F.filter(F.split("text", " "), lambda w: w != ""), " "
+        )
+    ).count()
+    assert bad == 0

@@ -72,3 +72,26 @@ def test_jsonl_feeds_the_standard_pipeline(spark, tmp_path):
     good, _ = load_documents_jsonl(spark, p)
     out = good.select(token_count(F.col("text")).alias("n_tokens"))
     assert {r.n_tokens for r in out.collect()} == {3}
+
+
+def test_jsonl_disk_only_storage_level(spark, tmp_path):
+    """The corpus-scale storage dial: DISK_ONLY persists must yield the
+    identical (good, bad) split — and actually carry the requested level."""
+    from pyspark.storagelevel import StorageLevel
+
+    p = str(tmp_path / "docs_disk.jsonl")
+    lines = [
+        json.dumps({"doc_id": i, "text": f"t {i}", "lang": "en",
+                    "source": "s", "n_chars": 3})
+        for i in range(4)
+    ] + ["broken {"]
+    _write(p, lines)
+
+    good, bad = load_documents_jsonl(
+        spark, p, storage_level=StorageLevel.DISK_ONLY
+    )
+    assert good.count() == 4
+    assert bad.count() == 1
+    # the persisted parse really is disk-only (no executor-memory cache)
+    plan = good._jdf.queryExecution().optimizedPlan().toString()
+    assert "StorageLevel(disk, 1 replicas)" in plan
