@@ -118,7 +118,18 @@ def main():
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            if pandas_mode:
+                # fetch Spark via pandas too — the faithful driver shape.
+                # Both engines then promote NULL-bearing int columns to
+                # float64/NaN identically, so the only mismatches left are
+                # REAL cross-engine type drift (e.g. DuckDB's HUGEINT SUM
+                # promotion, which Spark's non-null bigint never mirrors).
+                rows = [
+                    tuple(r)
+                    for r in df.toPandas().itertuples(index=False, name=None)
+                ]
+            else:
+                rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")

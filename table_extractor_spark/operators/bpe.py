@@ -47,7 +47,12 @@ def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD)))
+    # guard the empty-pattern regex split against engine/version skew on
+    # trailing-empty elements (some split implementations append one):
+    # characters are never empty, so the filter is a no-op where the
+    # behavior is already clean and a fix where it isn't
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    syms = F.concat(chars, F.array(F.lit(END_OF_WORD)))
     return wc.select("word", "n", syms.alias("syms"))
 
 
@@ -177,7 +182,9 @@ def bpe_encode(
         method = "expr" if len(rules) <= EXPR_ENCODE_MAX_RULES else "arrow"
     if method == "expr":
         def encode_word(w):
-            s = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
+            # same trailing-empty guard as word_symbol_table
+            chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+            s = F.concat(chars, F.array(F.lit(END_OF_WORD)))
             for _, a, b, _cnt in sorted(rules):
                 s = apply_merge(s, a, b)
             return s
