@@ -24,6 +24,7 @@ independent unit of work — embarrassingly parallel.
 
 from __future__ import annotations
 
+import re
 from dataclasses import asdict
 from typing import Iterable, List, Optional, Tuple
 
@@ -49,6 +50,10 @@ WIKITABLE_CLASSES = (
 )
 
 OUT_FIELDS = ("kind", "text", "media_ref", "order")
+
+
+# equivalent to `"<table" in text.lower()` without the lowered copy
+_TABLE_HINT = re.compile(r"<table", re.IGNORECASE)
 
 
 def _find_table_regions(text: str) -> Iterable[Tuple[int, str]]:
@@ -169,7 +174,10 @@ def extract_document_cols(
     candidates = []
     for i in order_idx:
         s_text = in_texts[i]
-        if in_kinds[i] != "text" or not s_text or "<table" not in s_text.lower():
+        # case-insensitive containment WITHOUT allocating a lowered copy of
+        # every span: at corpus scale most spans carry no table at all, and
+        # lower() on a miss is a full-string allocation for nothing
+        if in_kinds[i] != "text" or not s_text or not _TABLE_HINT.search(s_text):
             continue
         s = {"offset": in_offsets[i] or 0, "text": s_text}
         for start, markup in _find_table_regions(s_text):

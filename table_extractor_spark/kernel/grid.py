@@ -326,7 +326,11 @@ def _find_anchors(cell: Element) -> tuple:
     """
     data = []
     media: List[tuple] = []
-    for anchor in cell.findall("a"):
+    # hot path (every cell): iterate children directly — findall would
+    # build a throwaway list per cell
+    for anchor in cell.children:
+        if anchor.__class__ is not Element or anchor.tag != "a":
+            continue
         anchor_data: dict = {}
         attrs = anchor.attrib
         text = anchor.text
@@ -346,7 +350,13 @@ def _find_anchors(cell: Element) -> tuple:
 def _find_td_text(cell: Element) -> Optional[dict]:
     """All html attrs + WYSIWYG text with nbsp -> ' ' (reference :716-755)."""
     data_cell = dict(cell.attrib)
-    cell_text = "".join(cell.itertext())
+    # hot path: most cells hold a single text node — skip the recursive
+    # itertext generator for that shape
+    kids = cell.children
+    if len(kids) == 1 and kids[0].__class__ is str:
+        cell_text = kids[0]
+    else:
+        cell_text = "".join(cell.itertext())
     if "\xa0" in cell_text:
         cell_text = cell_text.replace("\xa0", " ")
     if cell_text:
@@ -364,7 +374,10 @@ def extract_data(table: Element, tab: TableParse) -> None:
     """
     tab.data = []  # type: ignore[attr-defined]
     for row in table.iterchildren():
-        if not row.findall("td"):
+        # hot path: membership test without findall's throwaway list
+        if not any(
+            c.__class__ is Element and c.tag == "td" for c in row.children
+        ):
             continue
         data_row = []
         for cell in row.iterchildren():

@@ -184,15 +184,26 @@ def parse_fragment(markup: str) -> Element:
 
 
 def find_elements(node: Element, tag: str) -> List[Element]:
-    """All descendants with the given tag, document order (lxml ``//tag``)."""
+    """All descendants with the given tag, document order (lxml ``//tag``).
+
+    Iterative preorder with an explicit stack — this runs per document on
+    the full tree, and Python call frames per node were measurable."""
     out: List[Element] = []
-
-    def walk(n: Element) -> None:
-        for c in n.children:
-            if isinstance(c, Element):
+    # stack of child lists with a cursor each, preserving document order
+    stack = [(node.children, 0)]
+    append = out.append
+    push = stack.append
+    while stack:
+        children, i = stack.pop()
+        n = len(children)
+        while i < n:
+            c = children[i]
+            i += 1
+            if c.__class__ is Element:
                 if c.tag == tag:
-                    out.append(c)
-                walk(c)
-
-    walk(node)
+                    append(c)
+                kids = c.children
+                if kids:
+                    push((children, i))  # resume parent after subtree
+                    children, i, n = kids, 0, len(kids)
     return out
