@@ -603,3 +603,78 @@ def paragraph_dedup(
             F.count("*").alias("n_total"),
         )
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-passage detection: maximal runs of >= ``k``
+    consecutive tokens that appear verbatim in >= ``min_docs`` distinct
+    documents (the substring-level dedup step of modern pre-training
+    pipelines — Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022; suffix-array semantics approximated by
+    k-token rolling windows, which find exactly the duplicated runs of
+    length >= k).
+
+    Returns (doc_id, start_pos, end_pos, n_windows): 1-based inclusive
+    token positions (over the doc's NONEMPTY tokens) of each maximal
+    duplicated run, with the count of duplicated k-windows it merges.
+    Callers cut or drop the flagged ranges.
+
+    Spark shape for 10^12 docs: the k-window table is |tokens| rows —
+    the honest cost of substring-level dedup (a suffix array is corpus-
+    sized too) — but it is never collected or joined all-pairs:
+    one partial-aggregated groupBy on the window hash finds duplicated
+    windows (boilerplate hashes hitting millions of docs collapse
+    map-side), one broadcast-or-shuffle LEFT SEMI join marks the
+    duplicated starts, and two doc-partitioned window passes merge
+    overlapping windows (gap <= k) into maximal runs.  Everything is
+    integer/hash arithmetic — bit-reproducible at any partitioning, and
+    the SQL oracle replays it verbatim."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    n = F.size(ws)
+    starts = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(ws, i, k), " "),
+    )
+    shingles = (
+        df.filter(n >= k)
+        .select(F.col(id_col), F.posexplode(starts).alias("idx0", "shingle"))
+        .select(
+            id_col,
+            (F.col("idx0") + 1).cast("long").alias("pos"),
+            hash60(F.col("shingle")).alias("h"),
+        )
+    )
+    dup_h = (
+        shingles.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    marks = shingles.join(dup_h, "h", "left_semi").select(id_col, "pos")
+    w_order = Window.partitionBy(id_col).orderBy("pos")
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gapped = marks.withColumn(
+        "__brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_order) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__grp", F.sum("__brk").over(w_run))
+    return (
+        gapped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") + (k - 1)).cast("long").alias("end_pos"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("__grp")
+    )

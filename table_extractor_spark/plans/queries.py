@@ -62,8 +62,10 @@ _R5_FRONT = (
     "shard_assembly",
     "paragraph_dedup",
     # (b) new queries closing the BPE loop (encode + decode round-trip)
+    # and the substring-level dedup addition
     "bpe_encode",
     "bpe_roundtrip",
+    "duplicate_passages",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -3277,6 +3279,71 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpora pass a newline splitter)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.paragraph_dedup(docs)
+
+
+DUP_PASSAGE_K = 20
+
+
+@register(
+    "duplicate_passages",
+    oracle=f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words0 AS (
+  SELECT doc_id, unnest(w) AS word,
+         unnest(generate_series(1, len(w))) AS ord
+  FROM ws
+),
+toks AS (
+  SELECT doc_id, word,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM words0 WHERE word <> ''
+),
+sh AS (
+  SELECT doc_id, pos,
+         string_agg(word, ' ') OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {DUP_PASSAGE_K - 1} FOLLOWING
+         ) AS shingle,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM toks
+),
+shv AS (
+  SELECT doc_id, pos, {DUCK_HASH.format('shingle')} AS h
+  FROM sh WHERE pos <= n - {DUP_PASSAGE_K - 1}
+),
+dup AS (SELECT h FROM shv GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+marks AS (SELECT doc_id, pos FROM shv WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {DUP_PASSAGE_K}
+              THEN 0 ELSE 1 END AS brk
+  FROM marks
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) + {DUP_PASSAGE_K - 1} AS BIGINT) AS end_pos,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, g
+""",
+)
+def duplicate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (operators/dedup.duplicate_passages —
+    Lee et al. ACL 2022 semantics via k-token rolling windows): every
+    maximal run of >= {k} consecutive tokens shared verbatim by >= 2
+    documents, as 1-based inclusive token ranges.  The window-hash
+    groupBy partial-aggregates map-side (boilerplate passages hitting
+    millions of docs collapse before the shuffle), the semi join marks
+    only duplicated starts, and the gaps-and-islands merge replays
+    identically in the oracle's LAG/SUM windows — integer/hash exact
+    end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_passages(docs, k=DUP_PASSAGE_K, min_docs=2)
 
 
 @register(

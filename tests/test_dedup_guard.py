@@ -126,3 +126,67 @@ def test_incremental_candidates_respect_bucket_cap(spark):
     ).collect()}
     assert not any("dup" in a or "dup" in b for a, b in inc), inc
     assert ("near_1", "near_2") in inc
+
+
+def _passage_docs(spark):
+    """Fixture: doc A and doc B share one exact 25-token passage; doc C is
+    fully disjoint; doc D duplicates doc A wholesale."""
+    shared = " ".join(f"s{i}" for i in range(25))
+    a_text = " ".join(f"a{i}" for i in range(30)) + " " + shared + " " + \
+        " ".join(f"z{i}" for i in range(30))
+    b_text = " ".join(f"b{i}" for i in range(10)) + " " + shared
+    c_text = " ".join(f"c{i}" for i in range(80))
+    return spark.createDataFrame(
+        [("A", a_text), ("B", b_text), ("C", c_text), ("D", a_text)],
+        "doc_id string, text string",
+    )
+
+
+def test_duplicate_passages_finds_shared_runs(spark):
+    from table_extractor_spark.operators.dedup import duplicate_passages
+
+    docs = _passage_docs(spark)
+    out = {
+        r.doc_id: (r.start_pos, r.end_pos, r.n_windows)
+        for r in duplicate_passages(docs, k=20, min_docs=2).collect()
+    }
+    # doc C shares nothing
+    assert "C" not in out
+    # doc B: 10 own tokens then the 25 shared -> run is exactly the
+    # shared passage (starts at token 11, ends at 35)
+    assert out["B"] == (11, 35, 6)  # window starts 11..16 (25-20+1=6)
+    # docs A and D are verbatim copies -> their ENTIRE text is one run
+    n_a = 30 + 25 + 30
+    assert out["A"] == (1, n_a, n_a - 19)
+    assert out["D"] == out["A"]
+
+
+def test_duplicate_passages_no_false_positives(spark):
+    from table_extractor_spark.operators.dedup import duplicate_passages
+
+    docs = spark.createDataFrame(
+        [(f"d{j}", " ".join(f"w{j}_{i}" for i in range(60))) for j in range(5)],
+        "doc_id string, text string",
+    )
+    assert duplicate_passages(docs, k=20, min_docs=2).count() == 0
+
+
+def test_duplicate_passages_merges_only_overlapping_windows(spark):
+    from table_extractor_spark.operators.dedup import duplicate_passages
+
+    # two shared passages inside one doc, separated by a >k unique gap ->
+    # two distinct maximal runs, not one
+    p1 = " ".join(f"p{i}" for i in range(20))
+    p2 = " ".join(f"q{i}" for i in range(20))
+    gap = " ".join(f"g{i}" for i in range(40))
+    host = p1 + " " + gap + " " + p2
+    other = p1 + " " + " ".join(f"x{i}" for i in range(40)) + " " + p2
+    docs = spark.createDataFrame(
+        [("H", host), ("O", other)], "doc_id string, text string"
+    )
+    runs = sorted(
+        (r.start_pos, r.end_pos)
+        for r in duplicate_passages(docs, k=20, min_docs=2)
+        .filter(F.col("doc_id") == "H").collect()
+    )
+    assert runs == [(1, 20), (61, 80)]
