@@ -678,3 +678,62 @@ def duplicate_passages(
         )
         .drop("__grp")
     )
+
+
+def cut_duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply ``duplicate_passages``: rewrite every document with its
+    flagged token ranges removed (the cut step of substring-level dedup —
+    every duplicated occurrence is dropped; keep-one policies compose by
+    exempting chosen (doc, range) rows upstream).
+
+    (doc_id, text, n_kept, n_removed): surviving tokens rejoined in
+    order, with honest counts — a wholly-duplicated doc comes back with
+    empty text and n_kept = 0, never silently vanishing (same contract
+    as ``paragraph_dedup``).
+
+    Spark shape: the flagged ranges are |runs| rows (tiny next to the
+    corpus); expanding them to positions costs sum-of-run-lengths rows;
+    one LEFT ANTI join on (doc, pos) drops cut tokens and one doc-keyed
+    groupBy reassembles — the corpus-sized table is shuffled twice
+    (join + reassembly), never collected."""
+    runs = duplicate_passages(df, text_col, id_col, k, min_docs)
+    cut_pos = runs.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("start_pos"), F.col("end_pos"))
+        ).alias("pos"),
+    )
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    toks = df.select(
+        F.col(id_col), F.posexplode(ws).alias("idx0", "word")
+    ).select(id_col, (F.col("idx0") + 1).cast("long").alias("pos"), "word")
+    kept = toks.join(cut_pos, [id_col, "pos"], "left_anti")
+    totals = df.select(F.col(id_col), F.size(ws).cast("long").alias("__n"))
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias(text_col),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

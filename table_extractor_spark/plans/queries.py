@@ -66,6 +66,7 @@ _R5_FRONT = (
     "bpe_encode",
     "bpe_roundtrip",
     "duplicate_passages",
+    "cut_duplicate_passages",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -3284,9 +3285,12 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_PASSAGE_K = 20
 
 
-@register(
-    "duplicate_passages",
-    oracle=f"""
+def _duck_passage_runs() -> str:
+    """Shared WITH-clause for the duplicate-passage family: tokens,
+    k-window hashes, cross-doc duplicated hashes, gaps-and-islands
+    maximal runs."""
+    k = DUP_PASSAGE_K
+    return f"""
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 words0 AS (
   SELECT doc_id, unnest(w) AS word,
@@ -3302,21 +3306,21 @@ sh AS (
   SELECT doc_id, pos,
          string_agg(word, ' ') OVER (
            PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN CURRENT ROW AND {DUP_PASSAGE_K - 1} FOLLOWING
+           ROWS BETWEEN CURRENT ROW AND {k - 1} FOLLOWING
          ) AS shingle,
          COUNT(*) OVER (PARTITION BY doc_id) AS n
   FROM toks
 ),
 shv AS (
   SELECT doc_id, pos, {DUCK_HASH.format('shingle')} AS h
-  FROM sh WHERE pos <= n - {DUP_PASSAGE_K - 1}
+  FROM sh WHERE pos <= n - {k - 1}
 ),
 dup AS (SELECT h FROM shv GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
 marks AS (SELECT doc_id, pos FROM shv WHERE h IN (SELECT h FROM dup)),
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {DUP_PASSAGE_K}
+                   <= {k}
               THEN 0 ELSE 1 END AS brk
   FROM marks
 ),
@@ -3325,17 +3329,24 @@ grp AS (
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS UNBOUNDED PRECEDING) AS g
   FROM isl
-)
-SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
-       CAST(MAX(pos) + {DUP_PASSAGE_K - 1} AS BIGINT) AS end_pos,
-       COUNT(*) AS n_windows
-FROM grp GROUP BY doc_id, g
-""",
+),
+runs AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+         CAST(MAX(pos) + {k - 1} AS BIGINT) AS end_pos,
+         COUNT(*) AS n_windows
+  FROM grp GROUP BY doc_id, g
+)"""
+
+
+@register(
+    "duplicate_passages",
+    oracle=_duck_passage_runs()
+    + "\nSELECT doc_id, start_pos, end_pos, n_windows FROM runs",
 )
 def duplicate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup (operators/dedup.duplicate_passages —
     Lee et al. ACL 2022 semantics via k-token rolling windows): every
-    maximal run of >= {k} consecutive tokens shared verbatim by >= 2
+    maximal run of >= k consecutive tokens shared verbatim by >= 2
     documents, as 1-based inclusive token ranges.  The window-hash
     groupBy partial-aggregates map-side (boilerplate passages hitting
     millions of docs collapse before the shuffle), the semi join marks
@@ -3344,6 +3355,47 @@ def duplicate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_passages(docs, k=DUP_PASSAGE_K, min_docs=2)
+
+
+@register(
+    "cut_duplicate_passages",
+    oracle=_duck_passage_runs()
+    + """,
+cutpos AS (
+  SELECT doc_id, unnest(generate_series(start_pos, end_pos)) AS pos
+  FROM runs
+),
+keptw AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM cutpos c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM keptw GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(t.n, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+)
+def cut_duplicate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut applied (operators/dedup.cut_duplicate_passages): every
+    flagged range removed from every document, surviving tokens rejoined
+    in order with honest kept/removed counts — a wholly-duplicated doc
+    returns empty text rather than vanishing.  The oracle extends the
+    runs replay with a NOT EXISTS anti-join on expanded cut positions
+    and an ordered string_agg reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cut_duplicate_passages(docs, k=DUP_PASSAGE_K, min_docs=2)
 
 
 @register(

@@ -190,3 +190,25 @@ def test_duplicate_passages_merges_only_overlapping_windows(spark):
         .filter(F.col("doc_id") == "H").collect()
     )
     assert runs == [(1, 20), (61, 80)]
+
+
+def test_cut_duplicate_passages_removes_exactly_flagged_ranges(spark):
+    from table_extractor_spark.operators.dedup import cut_duplicate_passages
+
+    docs = _passage_docs(spark)
+    out = {r.doc_id: r.asDict() for r in
+           cut_duplicate_passages(docs, k=20, min_docs=2).collect()}
+    # every input doc comes back, including wholly-duplicated ones
+    assert set(out) == {"A", "B", "C", "D"}
+    # C untouched
+    assert out["C"]["n_removed"] == 0
+    assert out["C"]["text"] == " ".join(f"c{i}" for i in range(80))
+    # B loses exactly the shared 25-token passage, keeps its own 10
+    assert out["B"]["n_kept"] == 10
+    assert out["B"]["n_removed"] == 25
+    assert out["B"]["text"] == " ".join(f"b{i}" for i in range(10))
+    # A and D are verbatim copies: everything cut, honest empty rows
+    for d in ("A", "D"):
+        assert out[d]["text"] == ""
+        assert out[d]["n_kept"] == 0
+        assert out[d]["n_removed"] == 85
