@@ -212,3 +212,51 @@ def test_cut_duplicate_passages_removes_exactly_flagged_ranges(spark):
         assert out[d]["text"] == ""
         assert out[d]["n_kept"] == 0
         assert out[d]["n_removed"] == 85
+
+
+def test_duplicate_passages_seeded_planting_sweep(spark):
+    """Seeded randomized sweep: 24 corpora, each two docs with unique
+    vocabularies sharing ONE planted passage of random length >= k at
+    random positions — detection must recover the exact planted token
+    ranges (no off-by-one at any offset/length), and the cut must remove
+    exactly the planted tokens."""
+    import random
+
+    from table_extractor_spark.operators.dedup import (
+        cut_duplicate_passages,
+        duplicate_passages,
+    )
+
+    k = 12
+    rng = random.Random(20260817)
+    rows, expected, exp_removed = [], {}, {}
+    for j in range(24):
+        plen = rng.randint(k, k + 17)
+        shared = [f"s{j}_{t}" for t in range(plen)]
+        a, b = rng.randint(0, 25), rng.randint(0, 25)
+        tail_h, tail_o = rng.randint(k + 1, 30), rng.randint(k + 1, 30)
+        h_words = (
+            [f"h{j}_{t}" for t in range(a)]
+            + shared
+            + [f"H{j}_{t}" for t in range(tail_h)]
+        )
+        o_words = (
+            [f"o{j}_{t}" for t in range(b)]
+            + shared
+            + [f"O{j}_{t}" for t in range(tail_o)]
+        )
+        rows += [(f"h{j}", " ".join(h_words)), (f"o{j}", " ".join(o_words))]
+        expected[f"h{j}"] = (a + 1, a + plen)
+        expected[f"o{j}"] = (b + 1, b + plen)
+        exp_removed[f"h{j}"] = exp_removed[f"o{j}"] = plen
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    got = {
+        r.doc_id: (r.start_pos, r.end_pos)
+        for r in duplicate_passages(docs, k=k, min_docs=2).collect()
+    }
+    assert got == expected
+
+    cut = {r.doc_id: r.n_removed
+           for r in cut_duplicate_passages(docs, k=k, min_docs=2).collect()}
+    assert {d: n for d, n in cut.items() if n} == exp_removed
