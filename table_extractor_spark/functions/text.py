@@ -259,3 +259,41 @@ def with_rare_word_score(docs, ranks, text_col: str = "text", id_col: str = "doc
             (F.sum("rank").cast("double") / F.count("*")).alias("mean_rank"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+):
+    """(doc_id, word, tf, score, rk): each doc's top-k terms by QUANTIZED
+    tf-idf — score = tf * (1_000_000 * n_docs div df), i.e. idf as an
+    integer-division parts-per-million weight instead of ln(N/df).  The
+    monotone-in-(1/df) integer idf keeps the whole score in exact int64
+    arithmetic (no transcendental, no float sum), so any engine reproduces
+    the ranking bit-for-bit — same policy as the rank-based surprisal
+    stand-in in ``with_rare_word_score``.  Ties break on the word, so the
+    per-doc ranking is total.
+
+    100-TB shape: the (doc, word) tf groupBy partial-aggregates map-side;
+    df derives from the tf table (one vocabulary-sized reshuffle, never a
+    second corpus scan); n_docs is a 1-row broadcast; the only corpus-keyed
+    shuffle after tf is the per-doc ranking window on ``doc_id``."""
+    from pyspark.sql import Window
+
+    wds = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = wds.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count_distinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.expr("tf * ((1000000 * n_docs) div df)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "word", "tf", "score", "rk")
+    )

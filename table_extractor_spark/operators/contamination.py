@@ -61,3 +61,81 @@ def contamination_report(
             (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def fuzzy_contamination_report(
+    docs: DataFrame,
+    bench_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = 16,
+    min_sig_match: int = 8,
+) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination: flag training docs whose
+    MinHash-ESTIMATED Jaccard against any benchmark doc clears
+    ``min_sig_match``/``perms`` — the NearDup eval-overlap check of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022), complementing ``contamination_report``'s exact n-gram collisions
+    (paraphrased or lightly-edited benchmark leakage shares few exact
+    3-grams but keeps a high Jaccard).
+
+    Returns (a, bench_id, n_sig_match, est_jaccard, contaminated) for every
+    LSH candidate pair, a = training doc (bench self-pairs anti-joined
+    out).  Keeping sub-threshold candidate rows makes the report auditable
+    (the same no-silent-drops policy as the exact report).
+
+    100-TB shape: benchmark sets are MBs, so everything derived from
+    ``bench_ids`` broadcasts — the corpus-side bucket table is probed
+    map-side by the broadcast bench buckets and NEVER self-joined (unlike
+    corpus dedup there is no corpus x corpus pair generation); the
+    signature-agreement count is a JVM ``zip_with`` over two 16-long
+    arrays, no Python.
+    """
+    from .dedup import lsh_buckets, minhash_signatures
+
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col, perms=perms)
+    buckets = lsh_buckets(sigs, id_col=id_col)
+    bench_keys = bench_ids.select(F.col(id_col)).distinct()
+    bench_buckets = (
+        buckets.join(F.broadcast(bench_keys), id_col)
+        .select(F.col(id_col).alias("bench_id"), "band", "bucket")
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(bench_buckets),
+            on=["band", "bucket"],
+        )
+        .filter(F.col(id_col) != F.col("bench_id"))
+        .select(F.col(id_col).alias("a"), "bench_id")
+        .distinct()
+        # training side only: a benchmark doc colliding with another
+        # benchmark doc is dedup's business, not decontamination's
+        .join(
+            F.broadcast(bench_keys.select(F.col(id_col).alias("a"))),
+            "a",
+            "left_anti",
+        )
+    )
+    sig_a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.join(F.broadcast(bench_keys), id_col).select(
+        F.col(id_col).alias("bench_id"), F.col("sig").alias("sig_b")
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
+    return (
+        cand.join(sig_a, "a")
+        .join(F.broadcast(sig_b), "bench_id")
+        .select(
+            "a",
+            "bench_id",
+            n_match.alias("n_sig_match"),
+            (n_match.cast("double") / F.lit(float(perms))).alias("est_jaccard"),
+            (n_match >= min_sig_match).alias("contaminated"),
+        )
+    )

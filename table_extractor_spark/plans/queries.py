@@ -67,6 +67,8 @@ _R5_FRONT = (
     "bpe_roundtrip",
     "duplicate_passages",
     "cut_duplicate_passages",
+    "fuzzy_decontamination",
+    "tfidf_top_terms",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -3957,6 +3959,96 @@ def decontamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return contamination_report(docs, benchmark_ngrams(bench))
+
+
+@register(
+    "fuzzy_decontamination",
+    oracle=_DUCK_SIGS_CTE + """
+, bench AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+bb AS (
+  SELECT b.doc_id AS bench_id, band, bucket
+  FROM buckets b JOIN bench ON b.doc_id = bench.doc_id
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS a, bb.bench_id
+  FROM buckets t JOIN bb ON t.band = bb.band AND t.bucket = bb.bucket
+   AND t.doc_id <> bb.bench_id
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM bench)
+),
+su AS (
+  SELECT doc_id, i, sig[i] AS v
+  FROM sigs, generate_series(1, 16) g(i)
+),
+m AS (
+  SELECT c.a, c.bench_id,
+         CAST(SUM(CASE WHEN ta.v = tb.v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sig_match
+  FROM cand c
+  JOIN su ta ON ta.doc_id = c.a
+  JOIN su tb ON tb.doc_id = c.bench_id AND tb.i = ta.i
+  GROUP BY c.a, c.bench_id
+)
+SELECT a, bench_id, n_sig_match,
+       CAST(n_sig_match AS DOUBLE) / 16 AS est_jaccard,
+       n_sig_match >= 8 AS contaminated
+FROM m
+""",
+)
+def fuzzy_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/contamination
+    ``fuzzy_contamination_report``): MinHash-estimated Jaccard of each
+    training doc against the synthetic benchmark (every 5th doc — denser
+    than the exact report's every-97th so sub-threshold candidates appear), LSH-pruned so only band-colliding pairs are
+    scored.  Benchmark buckets and signatures broadcast; the corpus bucket
+    table is probed map-side — no corpus self-join.  The oracle replays the
+    shared signature CTE and counts agreeing components via a
+    position-unnest join (no list lambdas on the comparison path)."""
+    from ..operators.contamination import fuzzy_contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    return fuzzy_contamination_report(docs, bench)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH wds AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM wds WHERE word <> ''
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         tf.tf * ((1000000 * nd.n_docs) // df.df) AS score
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, word, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word)
+           AS rk
+  FROM scored
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+       CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by quantized tf-idf (functions/text
+    ``tfidf_top_terms``): idf as the integer parts-per-million weight
+    1e6*N div df, so the whole score stays exact int64 — no ln(), no float
+    sum, bit-identical ranking on any engine (the transcendental-free
+    policy ``rare_word_rank_score`` pins).  Corpus work is one explode +
+    one (doc, word) partial-agg'd groupBy; df reuses the tf table
+    (vocabulary-sized); the per-doc ranking window is the only other
+    corpus-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs)
 
 
 @register(

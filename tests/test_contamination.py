@@ -130,3 +130,93 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[1] == (f"{p1} {p2}", 2, 2)
     assert got[2] == (p3, 1, 2)
     assert got[3] == ("", 0, 2)
+
+
+def test_fuzzy_contamination_flags_near_duplicate_of_benchmark(spark):
+    from table_extractor_spark.operators.contamination import (
+        fuzzy_contamination_report,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("theta", "thetaX", 1)  # light paraphrase of b1
+    docs = spark.createDataFrame(
+        [
+            ("b1", base),
+            ("t1", near),
+            ("t2", "completely unrelated words about something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") == "b1")
+    got = {
+        r.a: r
+        for r in fuzzy_contamination_report(docs, bench).collect()
+    }
+    # the near-copy collides in LSH and clears the estimate threshold
+    assert "t1" in got and got["t1"].contaminated
+    assert got["t1"].bench_id == "b1"
+    assert got["t1"].n_sig_match >= 8
+    assert got["t1"].est_jaccard == got["t1"].n_sig_match / 16.0
+    # the unrelated doc never becomes a candidate
+    assert "t2" not in got
+    # benchmark docs are not reported as training hits
+    assert "b1" not in got
+
+
+def test_fuzzy_contamination_identical_doc_matches_all_components(spark):
+    from table_extractor_spark.operators.contamination import (
+        fuzzy_contamination_report,
+    )
+
+    txt = "one two three four five six seven eight nine ten " * 3
+    docs = spark.createDataFrame(
+        [("b1", txt), ("t1", txt)], ["doc_id", "text"]
+    )
+    bench = docs.filter(F.col("doc_id") == "b1")
+    rows = fuzzy_contamination_report(docs, bench).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.bench_id, r.n_sig_match, r.contaminated) == (
+        "t1", "b1", 16, True
+    )
+
+
+def test_tfidf_top_terms_exact_quantized_scores(spark):
+    from table_extractor_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple apple banana shared"),
+            ("d2", "banana shared shared"),
+            ("d3", "shared cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.rk): (r.word, r.tf, r.score)
+        for r in tfidf_top_terms(docs).collect()
+    }
+    # N=3; df: apple 1, banana 2, cherry 1, shared 3
+    # idf_ppm: apple/cherry 3_000_000, banana 1_500_000, shared 1_000_000
+    assert out[("d1", 1)] == ("apple", 2, 6_000_000)
+    assert out[("d1", 2)] == ("banana", 1, 1_500_000)
+    assert out[("d1", 3)] == ("shared", 1, 1_000_000)
+    assert out[("d2", 1)] == ("shared", 2, 2_000_000)
+    assert out[("d2", 2)] == ("banana", 1, 1_500_000)
+    assert out[("d3", 1)] == ("cherry", 1, 3_000_000)
+    # d3 has only two distinct words -> exactly two ranked rows
+    assert ("d3", 3) not in out and out[("d3", 2)][0] == "shared"
+
+
+def test_tfidf_ties_break_on_word(spark):
+    from table_extractor_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("d1", "zebra apple"), ("d2", "zebra apple")], ["doc_id", "text"]
+    )
+    rows = tfidf_top_terms(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.word))
+    for doc in ("d1", "d2"):
+        assert sorted(by_doc[doc]) == [(1, "apple"), (2, "zebra")]

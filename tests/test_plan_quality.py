@@ -318,3 +318,25 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
+
+
+def test_round5_queries_plan_shape(spark):
+    """r5 additions stay scale-right: fuzzy decontamination never
+    self-joins the corpus bucket table (every bench-derived side is
+    broadcast), and quantized tf-idf is partial-agg'd with no Python and
+    no big-big join (df/n_docs are dimension/scalar sides)."""
+    from table_extractor_spark.plans import queries as Q
+
+    q = Q.queries()
+    plan = formatted(q["fuzzy_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = formatted(q["tfidf_top_terms"](spark, SF))
+    assert "partial_count" in plan, plan
+    # tf x df is a vocab-keyed equi-join (broadcast at fixture scale,
+    # shuffle-hash/SMJ on the word key at corpus scale): never a product
+    assert "CartesianProduct" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
