@@ -737,3 +737,97 @@ def cut_duplicate_passages(
             (F.col("__n") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 8,
+) -> DataFrame:
+    """Positional winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+    — public method, independent implementation): (doc_id, pos, fp), the
+    rightmost-minimum shingle hash of every ``window`` consecutive k-gram
+    hashes, deduplicated.  Unlike the global ``bottomk_fingerprint``/minhash
+    sketches, winnowing guarantees a fingerprint inside EVERY window-length
+    region, so two docs sharing any sufficiently long passage share a
+    fingerprint at a known position — the partial-overlap primitive
+    (``duplicate_passages`` finds exact runs; winnowing survives edits
+    between the shared regions).
+
+    Engine-reproducible rightmost-argmin without struct aggregates: each
+    position packs into one int64 key = h * 2^20 + (2^20 - 1 - pos), so a
+    plain windowed MIN picks the smallest hash and, among ties, the LARGEST
+    position — decode back to (pos, fp).  Requires pos < 2^20 (a ~1M-word
+    single document); bigger docs should be span-chunked upstream, which
+    the interleaved corpus layout already guarantees.
+
+    Scale shape: one posexplode + one per-doc window (single hash shuffle
+    on ``id_col``), then a distinct partial-agg'd on the same key — no
+    joins, no Python.  Windows are full-length only, except that a doc
+    shorter than ``window`` keeps its first window so every non-empty doc
+    fingerprints."""
+    n_sh = F.size(word_shingles(F.col(text_col), shingle_k))
+    pos_h = df.select(
+        F.col(id_col),
+        n_sh.alias("__n"),
+        F.posexplode(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_k),
+                lambda s: hash60(s) % MINHASH_P,
+            )
+        ).alias("pos", "h"),
+    )
+    key = (F.col("h") * F.lit(1 << 20)) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    picked = (
+        pos_h.withColumn("__key", F.min(key).over(w))
+        # full windows only (plus the lone short window of a tiny doc)
+        .filter(
+            (F.col("pos") <= F.col("__n") - F.lit(window))
+            | ((F.col("pos") == 0) & (F.col("__n") < F.lit(window)))
+        )
+        .select(
+            F.col(id_col),
+            (F.lit((1 << 20) - 1) - F.pmod("__key", F.lit(1 << 20))).alias("pos"),
+            F.expr(f"__key div {1 << 20}").alias("fp"),
+        )
+        .distinct()
+    )
+    return picked
+
+
+def winnowing_overlap_pairs(
+    fps: DataFrame, id_col: str = "doc_id", min_shared: int = 3,
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """(a, b, n_shared) for doc pairs sharing >= ``min_shared`` winnowing
+    fingerprints — the MOSS-style partial-overlap report over
+    ``winnowing_fingerprints`` output.  Self-join co-partitioned on the
+    fingerprint value; ``max_fp_docs`` caps degenerate boilerplate
+    fingerprints exactly like the LSH giant-bucket guard (capped
+    fingerprints are EXCLUDED from pair generation, never silently — count
+    them via the same windowed-size pattern upstream if auditing)."""
+    distinct_fp = fps.select(id_col, "fp").distinct()
+    if max_fp_docs is not None:
+        wfp = Window.partitionBy("fp")
+        distinct_fp = (
+            distinct_fp.withColumn("__nd", F.count("*").over(wfp))
+            .filter(F.col("__nd") <= max_fp_docs)
+            .drop("__nd")
+        )
+    left = distinct_fp.select(F.col(id_col).alias("a"), "fp")
+    right = distinct_fp.select(F.col(id_col).alias("b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

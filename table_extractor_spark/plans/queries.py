@@ -69,6 +69,8 @@ _R5_FRONT = (
     "cut_duplicate_passages",
     "fuzzy_decontamination",
     "tfidf_top_terms",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -2464,6 +2466,77 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.bottomk_fingerprint(F.col("text")).cast("array<string>"), ","
         ).alias("fingerprint"),
     )
+
+
+# shared winnowing CTE: positional 3-gram hashes -> packed rightmost-argmin
+# window MIN -> decoded (doc_id, pos, fp), full windows only (w=8).  The
+# int64 packing (h * 2^20 + (2^20-1-pos)) is the same construct the Spark
+# operator uses, so both engines run ONE plain windowed MIN — no struct
+# aggregates, no list lambdas on the comparison path.
+_DUCK_WINNOW_CTE = """
+WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ph0 AS (
+  SELECT doc_id, len(w) - 2 AS n, w,
+         unnest(generate_series(1, len(w) - 2)) AS i
+  FROM wd
+),
+ph AS (
+  SELECT doc_id, n, i - 1 AS pos,
+         (('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::bigint
+          % 2147483647) AS h
+  FROM ph0
+),
+keyed AS (
+  SELECT doc_id, n, pos,
+         MIN(h * 1048576 + (1048575 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS k
+  FROM ph
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(1048575 - (k % 1048576) AS BIGINT) AS pos,
+         CAST(k // 1048576 AS BIGINT) AS fp
+  FROM keyed
+  WHERE pos <= n - 8 OR (pos = 0 AND n < 8)
+)
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_DUCK_WINNOW_CTE + "SELECT doc_id, pos, fp FROM sel",
+)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional winnowing fingerprints (operators/dedup
+    ``winnowing_fingerprints``, Schleimer et al. SIGMOD 2003): the
+    guaranteed-coverage local fingerprint — every 8-shingle window of every
+    doc contributes its rightmost-min hash, so shared passages share
+    fingerprints at known positions.  One posexplode + one per-doc window
+    shuffle + a distinct; no joins, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_fingerprints(docs)
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=_DUCK_WINNOW_CTE + """
+, fpp AS (SELECT DISTINCT doc_id, fp FROM sel)
+SELECT l.doc_id AS a, r.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fpp l JOIN fpp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id
+HAVING COUNT(*) >= 3
+""",
+)
+def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style partial-overlap report: doc pairs sharing >= 3 winnowing
+    fingerprints (operators/dedup ``winnowing_overlap_pairs``).  The
+    self-join co-partitions on the fingerprint value — pair volume is
+    bounded by fingerprint bucket sizes, with the ``max_fp_docs`` guard
+    available for boilerplate-degenerate corpora (unused here: the
+    synthetic corpus has no mega-buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_overlap_pairs(D.winnowing_fingerprints(docs))
 
 
 _DUCK_COS = """

@@ -260,3 +260,77 @@ def test_duplicate_passages_seeded_planting_sweep(spark):
     cut = {r.doc_id: r.n_removed
            for r in cut_duplicate_passages(docs, k=k, min_docs=2).collect()}
     assert {d: n for d, n in cut.items() if n} == exp_removed
+
+
+def test_winnowing_shared_passage_shares_fingerprints(spark):
+    from table_extractor_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            ("d1", "intro words go here first " + shared + " tail piece one"),
+            ("d2", "a totally different preamble text " + shared + " end"),
+            ("d3", "nothing in common with anything else at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # the shared passage guarantees common fingerprints despite different
+    # surroundings (different offsets included)
+    assert len(by_doc["d1"] & by_doc["d2"]) >= 2
+    assert not (by_doc["d1"] & by_doc["d3"])
+    pairs = winnowing_overlap_pairs(fps, min_shared=2).collect()
+    assert [(p.a, p.b) for p in pairs] == [("d1", "d2")]
+
+
+def test_winnowing_every_window_is_covered(spark):
+    from table_extractor_spark.operators.dedup import winnowing_fingerprints
+
+    # deterministic 60-word doc with no repeated 3-grams
+    words = " ".join(f"w{i * 7 % 61}x{i}" for i in range(60))
+    docs = spark.createDataFrame([("d", words)], ["doc_id", "text"])
+    picked = sorted(
+        r.pos for r in winnowing_fingerprints(docs, window=8).collect()
+    )
+    n_shingles = 60 - 2
+    # the winnowing guarantee: every full window of 8 consecutive shingle
+    # positions contains at least one selected fingerprint position
+    for start in range(0, n_shingles - 8 + 1):
+        assert any(start <= p <= start + 7 for p in picked), (start, picked)
+
+
+def test_winnowing_short_doc_still_fingerprints(spark):
+    from table_extractor_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [("tiny", "just two"), ("empty", "")], ["doc_id", "text"]
+    )
+    rows = winnowing_fingerprints(docs).collect()
+    got = {(r.doc_id, r.pos) for r in rows}
+    # a doc shorter than the window keeps its single short-window pick
+    assert ("tiny", 0) in got
+    # even the empty doc resolves deterministically (single empty shingle)
+    assert ("empty", 0) in got
+
+
+def test_winnowing_overlap_cap_excludes_degenerate_fingerprints(spark):
+    from table_extractor_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    boiler = "copyright footer text repeated on every single page here now"
+    docs = spark.createDataFrame(
+        [(f"d{i}", boiler) for i in range(6)], ["doc_id", "text"]
+    )
+    fps = winnowing_fingerprints(docs)
+    uncapped = winnowing_overlap_pairs(fps, min_shared=1)
+    assert uncapped.count() == 15  # all C(6,2) pairs
+    capped = winnowing_overlap_pairs(fps, min_shared=1, max_fp_docs=3)
+    assert capped.count() == 0

@@ -340,3 +340,12 @@ def test_round5_queries_plan_shape(spark):
     # shuffle-hash/SMJ on the word key at corpus scale): never a product
     assert "CartesianProduct" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+    # winnowing: posexplode + one per-doc window + distinct — no joins at
+    # all in the fingerprint query, and no Python anywhere
+    plan = formatted(q["winnowing_fingerprints"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    plan = formatted(q["winnowing_overlap_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
