@@ -416,3 +416,89 @@ def compact_near_dup_index(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+
+
+def start_stream_decontamination(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    quarantine_dir: str,
+    bench_docs,
+    checkpoint_dir: str,
+    *,
+    k: int = 3,
+    timeout_sec: int = 600,
+):
+    """Streaming benchmark decontamination — the ingest hygiene gate: per
+    micro-batch of (doc_id, text), flag every doc sharing a word ``k``-gram
+    with the (static) benchmark set, route clean docs to ``output_dir`` and
+    flagged docs — WITH their collision counts — to ``quarantine_dir``.
+    Quarantine-not-drop keeps the decision auditable, the same policy as
+    the batch ``contamination_report`` and the LSH giant-bucket guard.
+
+    The benchmark gram set is computed ONCE before the stream starts and
+    persisted: eval sets are MBs at any corpus scale, so every batch pays
+    one broadcast hash-join on the gram hash and one per-doc aggregation —
+    the batch side is never shuffled.  Both sinks are PARTITIONED BY
+    batch_id and written with dynamic-partition overwrite, so a retried
+    micro-batch replaces its own partitions (the same effectively-
+    exactly-once shape as ``start_stream_near_dup_dedup``)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.contamination import benchmark_ngrams, contamination_report
+
+    grams = benchmark_ngrams(bench_docs, k=k).persist()
+    grams.count()  # materialize once, outside the per-batch path
+
+    docs = (
+        spark.readStream.schema("doc_id string, text string")
+        .parquet(input_dir)
+    )
+
+    def decontaminate_batch(batch_df, batch_id: int) -> None:
+        spark_ = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").persist()
+        try:
+            report = contamination_report(batch, grams, k=k)
+            flagged = report.filter(F.col("contaminated"))
+            quarantined = (
+                batch.join(flagged, "doc_id")
+                .select("doc_id", "text", "n_collisions")
+                .withColumn("batch_id", F.lit(int(batch_id)))
+            )
+            clean = batch.join(
+                flagged.select("doc_id"), "doc_id", "left_anti"
+            ).withColumn("batch_id", F.lit(int(batch_id)))
+            prev = spark_.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark_.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                clean.write.mode("overwrite").partitionBy("batch_id").parquet(
+                    output_dir
+                )
+                quarantined.write.mode("overwrite").partitionBy(
+                    "batch_id"
+                ).parquet(quarantine_dir)
+            finally:
+                spark_.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            batch.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(decontaminate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        grams.unpersist()
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+    return q

@@ -300,3 +300,62 @@ def test_compact_near_dup_index_preserves_dedup(spark, tmp_path):
     start_stream_near_dup_dedup(spark, inp, out, idx, ckp)
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert "doc_new" in kept and "doc_dup" not in kept
+
+
+def test_stream_decontamination_quarantines_benchmark_overlap(spark, tmp_path):
+    """Two AvailableNow drains: docs sharing a 3-gram with the static
+    benchmark land in quarantine WITH collision counts; clean docs pass.
+    Both sinks are batch_id-partitioned for retry idempotence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from table_extractor_spark.streaming.ingest import (
+        start_stream_decontamination,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    quar = str(tmp_path / "quar")
+    ckp = str(tmp_path / "ckp")
+    os.makedirs(inp)
+
+    bench = spark.createDataFrame(
+        [("bench_1", "the secret benchmark answer is forty two exactly")],
+        "doc_id string, text string",
+    )
+
+    def land(rows):
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    land([
+        ("d_leak", "prefix words the secret benchmark answer appears here"),
+        ("d_ok", "completely unrelated text about other things entirely"),
+    ])
+    start_stream_decontamination(
+        spark, inp, out, quar, bench, ckp, timeout_sec=120
+    )
+    land([
+        ("d_leak2", "another doc where the benchmark answer is forty two"),
+        ("d_ok2", "more clean content with no overlap whatsoever present"),
+    ])
+    start_stream_decontamination(
+        spark, inp, out, quar, bench, ckp, timeout_sec=120
+    )
+
+    clean = {r.doc_id for r in spark.read.parquet(out).collect()}
+    qrows = {
+        r.doc_id: (r.n_collisions, r.batch_id)
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert clean == {"d_ok", "d_ok2"}
+    assert set(qrows) == {"d_leak", "d_leak2"}
+    # collision counts are real distinct-gram counts, not just flags
+    assert qrows["d_leak"][0] >= 2 and qrows["d_leak2"][0] >= 2
+    # batch lineage: each quarantined doc carries the batch that caught it
+    assert qrows["d_leak"][1] == 0 and qrows["d_leak2"][1] == 1
+    # clean sink schema keeps (doc_id, text, batch_id) — downstream-ready
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"doc_id", "text", "batch_id"}
