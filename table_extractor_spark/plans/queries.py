@@ -71,6 +71,7 @@ _R5_FRONT = (
     "tfidf_top_terms",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "countmin_frequency_estimates",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -4122,6 +4123,57 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-keyed shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs)
+
+
+@register(
+    "countmin_frequency_estimates",
+    oracle="""
+WITH wds AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+occ AS (SELECT word FROM wds WHERE word <> ''),
+wf AS (SELECT word, COUNT(*) AS exact_cnt FROM occ GROUP BY word),
+cells AS (
+  SELECT t.r AS row,
+         (('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || occ.word), 1, 15))::bigint
+          % 256) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM occ, generate_series(0, 3) t(r)
+  GROUP BY 1, 2
+),
+topw AS (SELECT word, exact_cnt FROM wf ORDER BY exact_cnt DESC, word LIMIT 20),
+qc AS (
+  SELECT topw.word, topw.exact_cnt, t.r AS row,
+         (('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || topw.word), 1, 15))::bigint
+          % 256) AS cell
+  FROM topw, generate_series(0, 3) t(r)
+)
+SELECT qc.word, CAST(MIN(qc.exact_cnt) AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+FROM qc JOIN cells c ON qc.row = c.row AND qc.cell = c.cell
+GROUP BY qc.word
+""",
+)
+def countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketches, Cormode &
+    Muthukrishnan 2005): build the d=4 x w=256 sketch over the corpus word
+    stream — the aggregation key space is d*w cells REGARDLESS of corpus
+    size, so the sketch partial-combines map-side into a broadcastable
+    table — then estimate the exact top-20 words and pair estimate with
+    truth (est >= exact by construction; the gap is the collision noise).
+    Row-salted md5 hashing makes every cell and estimate bit-reproducible,
+    so the oracle replays the whole sketch."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sk = SK.countmin_sketch(wds, key_col="word")
+    wf = wds.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    top = wf.orderBy(F.col("exact_cnt").desc(), "word").limit(20)
+    est = SK.countmin_estimate(sk, top.select("word"), key_col="word")
+    return top.join(est, "word").select("word", "exact_cnt", "est_cnt")
 
 
 @register(
