@@ -745,6 +745,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     window: int = 8,
+    pos_budget: int = 1 << 20,
 ) -> DataFrame:
     """Positional winnowing fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
@@ -758,11 +759,12 @@ def winnowing_fingerprints(
     between the shared regions).
 
     Engine-reproducible rightmost-argmin without struct aggregates: each
-    position packs into one int64 key = h * 2^20 + (2^20 - 1 - pos), so a
-    plain windowed MIN picks the smallest hash and, among ties, the LARGEST
-    position — decode back to (pos, fp).  Requires pos < 2^20 (a ~1M-word
-    single document); bigger docs should be span-chunked upstream, which
-    the interleaved corpus layout already guarantees.
+    position packs into one int64 key = h * pos_budget + (pos_budget - 1 -
+    pos), so a plain windowed MIN picks the smallest hash and, among ties,
+    the LARGEST position — decode back to (pos, fp).  Requires pos <
+    ``pos_budget`` (default 2^20, a ~1M-word single document) and the job
+    FAILS — never silently aliases positions — on a bigger doc; span-chunk
+    upstream, which the interleaved corpus layout already guarantees.
 
     Scale shape: one posexplode + one per-doc window (single hash shuffle
     on ``id_col``), then a distinct partial-agg'd on the same key — no
@@ -770,9 +772,24 @@ def winnowing_fingerprints(
     shorter than ``window`` keeps its first window so every non-empty doc
     fingerprints."""
     n_sh = F.size(word_shingles(F.col(text_col), shingle_k))
+    # the int64 pack needs pos < pos_budget: a doc that big must FAIL the
+    # job (assert_true evaluates per doc row, not per position), never
+    # silently alias fingerprints across positions
+    n_checked = F.when(
+        F.assert_true(
+            n_sh < F.lit(pos_budget),
+            F.concat(
+                F.lit("winnowing_fingerprints: doc "),
+                F.col(id_col).cast("string"),
+                F.lit(f" exceeds the {pos_budget}-shingle position budget;"
+                      " chunk it upstream"),
+            ),
+        ).isNull(),
+        n_sh,
+    )
     pos_h = df.select(
         F.col(id_col),
-        n_sh.alias("__n"),
+        n_checked.alias("__n"),
         F.posexplode(
             F.transform(
                 word_shingles(F.col(text_col), shingle_k),
@@ -780,7 +797,9 @@ def winnowing_fingerprints(
             )
         ).alias("pos", "h"),
     )
-    key = (F.col("h") * F.lit(1 << 20)) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    key = (F.col("h") * F.lit(pos_budget)) + (
+        F.lit(pos_budget - 1) - F.col("pos")
+    )
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -795,8 +814,10 @@ def winnowing_fingerprints(
         )
         .select(
             F.col(id_col),
-            (F.lit((1 << 20) - 1) - F.pmod("__key", F.lit(1 << 20))).alias("pos"),
-            F.expr(f"__key div {1 << 20}").alias("fp"),
+            (F.lit(pos_budget - 1) - F.pmod("__key", F.lit(pos_budget))).alias(
+                "pos"
+            ),
+            F.expr(f"__key div {pos_budget}").alias("fp"),
         )
         .distinct()
     )

@@ -334,3 +334,18 @@ def test_winnowing_overlap_cap_excludes_degenerate_fingerprints(spark):
     assert uncapped.count() == 15  # all C(6,2) pairs
     capped = winnowing_overlap_pairs(fps, min_shared=1, max_fp_docs=3)
     assert capped.count() == 0
+
+
+def test_winnowing_rejects_docs_beyond_position_budget(spark):
+    import pytest
+    from table_extractor_spark.operators.dedup import winnowing_fingerprints
+
+    # pos_budget parameterizes the int64 pack, so the guard is exercised
+    # for real at a tiny budget instead of materializing a 2^20-word doc
+    docs = spark.createDataFrame(
+        [("d", " ".join(f"w{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="position budget"):
+        winnowing_fingerprints(docs, pos_budget=16).count()
+    # the same doc fingerprints fine one budget notch up (19 shingles < 32)
+    assert winnowing_fingerprints(docs, pos_budget=32).count() > 0
