@@ -88,3 +88,144 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+# --- HyperLogLog distinct-count sketch --------------------------------------
+#
+# Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA 2007 — public
+# method, independent implementation.  m registers; each key lands in
+# bucket H_b(key) % m and contributes rho = leading-rank of a second
+# independent salted hash H_r(key); the register keeps the MAX rho.
+#
+# Why it matters at 100 TB: exact COUNT(DISTINCT) over a corpus-scale key
+# stream (URLs, shingles, vocabulary) is a full keyspace shuffle.  The
+# sketch's aggregation key space is m registers regardless of corpus
+# size (map-side partial max), and two sketches MERGE by bucket-wise max
+# — so every executor sketches its shard independently and the union of
+# any number of shards reduces to an m-row table.  MAX is idempotent, so
+# no distinct() pass is needed upstream.
+#
+# Engine-reproducibility policy (same as count-min / rare_word_rank):
+# md5-prefix hashes, rho = 61 - length(bin(h)) (both engines print
+# minimal-width binary), and the estimate is INTEGER-EXACT end-to-end —
+# S = sum over registers of 2^(rho_cap - rho) fits int64
+# (m * 2^rho_cap <= 2^48 at the defaults), the harmonic-mean inverse is
+# one bigint div, and the bias constant alpha enters as a fixed ppm
+# integer.  No transcendentals, no floats, so a DuckDB oracle replays
+# every register and the estimate itself bit-for-bit.  The standard
+# small-range linear-counting correction needs ln(); per the engine
+# policy it is NOT applied — v_empty ships in the output so a consumer
+# can apply any correction downstream.
+
+
+def _hll_alpha_ppm(buckets: int) -> int:
+    """The HLL bias constant as parts-per-million (public constants from
+    the paper: 0.673 / 0.697 / 0.709 for m = 16 / 32 / 64, else
+    0.7213 / (1 + 1.079/m)).  Integerized once here so both engines
+    consume the identical constant."""
+    if buckets <= 16:
+        return 673000
+    if buckets <= 32:
+        return 697000
+    if buckets <= 64:
+        return 709000
+    return int(0.7213 / (1.0 + 1.079 / buckets) * 1_000_000)
+
+
+def hll_sketch(
+    keys: DataFrame,
+    key_col: str = "key",
+    buckets: int = 256,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """(bucket, rho): the full m-register table (empty registers present
+    with rho = 0, so downstream estimation and v_empty need no spine).
+
+    One narrow projection + one m-key partial-agg'd groupBy; the bucket
+    spine is a broadcast range join.  rho saturates at ``rho_cap``
+    (default 40 — a register only saturates past ~2^40 distinct keys per
+    bucket, far beyond any real corpus; the cap is what keeps the
+    estimator integer-exact)."""
+    h_b = F.pmod(
+        _hash60(F.concat(F.lit("b|"), F.col(key_col))), F.lit(buckets)
+    )
+    h_r = _hash60(F.concat(F.lit("r|"), F.col(key_col)))
+    # minimal-width binary length == floor(log2(h)) + 1 for h > 0, so
+    # 61 - length is the leading-zero rank of a 60-bit hash, in [1, 60]
+    rho = F.least(F.lit(rho_cap), F.lit(61) - F.length(F.bin(h_r)))
+    reg = (
+        keys.select(h_b.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = keys.sparkSession.range(buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    return spine.join(F.broadcast(reg), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho")
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise max over any number of register tables — the shard
+    combine.  union + one m-key groupBy; output is again a full
+    register table."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, buckets: int = 256, rho_cap: int = 40
+) -> DataFrame:
+    """One row (m, v_empty, s_scaled, est_distinct): the raw HLL
+    estimate, integer-exact.
+
+    S = sum 2^(rho_cap - rho) over all m registers (int64: m * 2^cap
+    <= 2^48 at defaults); raw harmonic term q = (m^2 * 2^cap) div S;
+    estimate = (alpha_ppm * q) div 10^6.  The alpha multiply is guarded:
+    q beyond 2^62/alpha means cardinality past ~10^13 — the job FAILS
+    (assert_true) rather than silently wrapping; shard the key space or
+    raise ``buckets`` there."""
+    alpha = _hll_alpha_ppm(buckets)
+    m2c = buckets * buckets * (1 << rho_cap)
+    q_budget = (1 << 62) // alpha
+    agg = registers.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_cap} - rho)")
+        ).alias("s_scaled"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_empty"),
+        F.count("*").alias("m"),
+    )
+    q = agg.withColumn(
+        "__q", F.expr(f"CAST({m2c} AS BIGINT) div s_scaled")
+    ).withColumn(
+        "__qc",
+        F.when(
+            F.assert_true(
+                F.col("__q") < F.lit(q_budget),
+                F.lit(
+                    "hll_estimate: harmonic term exceeds the int64 alpha "
+                    "budget (cardinality ~10^13+); raise buckets or "
+                    "shard the key space"
+                ),
+            ).isNull(),
+            F.col("__q"),
+        ),
+    )
+    return q.select(
+        F.col("m").cast("long").alias("m"),
+        "v_empty",
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        # v_empty == m means literally zero keys were seen: cardinality
+        # is EXACTLY 0, not an estimate (the one small-range case that
+        # needs no ln-based correction)
+        F.expr(
+            "CAST(CASE WHEN v_empty = m THEN 0 "
+            f"ELSE ({alpha} * __qc) div 1000000 END AS BIGINT)"
+        ).alias("est_distinct"),
+    )

@@ -72,6 +72,8 @@ _R5_FRONT = (
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "countmin_frequency_estimates",
+    "hll_registers",
+    "hll_distinct_estimate",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -4174,6 +4176,97 @@ def countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = wf.orderBy(F.col("exact_cnt").desc(), "word").limit(20)
     est = SK.countmin_estimate(sk, top.select("word"), key_col="word")
     return top.join(est, "word").select("word", "exact_cnt", "est_cnt")
+
+
+from ..operators.sketches import _hll_alpha_ppm as _hll_alpha
+
+_HLL_ALPHA_PPM_256 = _hll_alpha(256)  # = 718272, one shared constant
+_HLL_M2C_256 = 256 * 256 * (1 << 40)  # m^2 * 2^rho_cap
+
+_HLL_REG_CTE = """
+wds AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+occ AS (SELECT word FROM wds WHERE word <> ''),
+hv AS (
+  SELECT word,
+         (('0x' || substr(md5('b|' || word), 1, 15))::BIGINT % 256) AS bucket,
+         ('0x' || substr(md5('r|' || word), 1, 15))::BIGINT AS hr
+  FROM occ
+),
+rh AS (SELECT bucket, LEAST(40, 61 - length(bin(hr))) AS rho FROM hv),
+reg AS (
+  SELECT gs.b AS bucket, CAST(COALESCE(MAX(rh.rho), 0) AS BIGINT) AS rho
+  FROM generate_series(0, 255) gs(b) LEFT JOIN rh ON rh.bucket = gs.b
+  GROUP BY gs.b
+)"""
+
+
+@register(
+    "hll_registers",
+    oracle=f"""
+WITH {_HLL_REG_CTE}
+SELECT bucket, rho FROM reg
+""",
+)
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full m=256 HyperLogLog register table over the corpus word
+    stream (operators/sketches.hll_sketch, Flajolet et al. 2007):
+    bucket = md5-salted hash % m, rho = leading-rank of a second salted
+    hash via minimal-width bin() length — identical arithmetic in both
+    engines, so the oracle replays every register.  The aggregation key
+    space is m regardless of corpus size (map-side partial MAX, no
+    distinct pass needed — MAX is idempotent under duplicates)."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sk = SK.hll_sketch(wds, key_col="word")
+    return sk.select("bucket", F.col("rho").cast("long").alias("rho"))
+
+
+@register(
+    "hll_distinct_estimate",
+    oracle=f"""
+WITH {_HLL_REG_CTE},
+agg AS (
+  SELECT CAST(SUM(1::BIGINT << (40 - rho)) AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM reg
+)
+SELECT m, v_empty, s_scaled,
+       CAST(CASE WHEN v_empty = m THEN 0
+            ELSE ({_HLL_ALPHA_PPM_256}
+                  * (CAST({_HLL_M2C_256} AS BIGINT) // s_scaled)) // 1000000
+            END AS BIGINT) AS est_distinct,
+       (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) FROM occ)
+         AS exact_distinct
+FROM agg
+""",
+)
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HyperLogLog cardinality estimate over the corpus
+    vocabulary, paired with the exact distinct count for audit (the gap
+    is the sketch error; sigma ~ 1.04/sqrt(256) = 6.5%).  S, the
+    harmonic term, and the ppm-alpha multiply are all int64-exact (no
+    transcendentals, overflow guarded by assert_true), so the DuckDB
+    oracle replays the ESTIMATE itself, not just the registers.  At
+    100 TB the exact column is the thing you can no longer afford — the
+    sketch side is one m-row table per shard plus a bucket-wise max."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    est = SK.hll_estimate(SK.hll_sketch(wds, key_col="word"))
+    exact = wds.agg(
+        F.count_distinct("word").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
 
 
 @register(

@@ -1,13 +1,18 @@
-"""Count-min sketch semantics: overestimate-only, exactness when the
-sketch is collision-free, determinism across partitioning."""
+"""Sketch semantics: count-min (overestimate-only, exactness when the
+sketch is collision-free, determinism across partitioning) and
+HyperLogLog (accuracy bound, shard-merge identity, saturation guard)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from table_extractor_spark.operators.sketches import (
     countmin_estimate,
     countmin_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
 )
 
 
@@ -55,3 +60,57 @@ def test_countmin_sketch_size_is_bounded(spark):
     sk = countmin_sketch(keys, depth=4, width=32)
     assert sk.count() <= 4 * 32
     assert sk.agg(F.sum("cnt")).collect()[0][0] == 500 * 4
+
+
+def _dup_keys(spark, n_distinct, reps=3):
+    return spark.range(n_distinct * reps).select(
+        F.concat(
+            F.lit("key_"), (F.col("id") % n_distinct).cast("string")
+        ).alias("key")
+    )
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=256 -> sigma ~ 1.04/sqrt(256) = 6.5%; 2000 distinct keys (with
+    # duplicates, which MAX makes invisible) must estimate within 3 sigma
+    est = hll_estimate(hll_sketch(_dup_keys(spark, 2000))).collect()[0]
+    assert est.m == 256
+    assert abs(est.est_distinct - 2000) / 2000 < 0.20
+    # deterministic: this exact corpus always yields this exact estimate
+    assert est.est_distinct == 2017
+
+
+def test_hll_sketch_is_partition_invariant(spark):
+    keys = _dup_keys(spark, 500)
+    one = hll_sketch(keys.coalesce(1)).orderBy("bucket").collect()
+    many = hll_sketch(keys.repartition(13)).orderBy("bucket").collect()
+    assert one == many
+
+
+def test_hll_shard_merge_equals_whole_corpus_sketch(spark):
+    # the 100-TB shape: each shard sketches independently; bucket-wise
+    # max over the m-row tables must equal the whole-corpus sketch
+    keys = _dup_keys(spark, 1200)
+    shards = [
+        hll_sketch(keys.filter(F.pmod(F.crc32(F.col("key")), F.lit(3)) == i))
+        for i in range(3)
+    ]
+    merged = hll_merge(*shards).orderBy("bucket").collect()
+    whole = hll_sketch(keys).orderBy("bucket").collect()
+    assert merged == whole
+
+
+def test_hll_empty_stream_estimates_zero(spark):
+    keys = _keys(spark, ["x"]).filter(F.lit(False))
+    est = hll_estimate(hll_sketch(keys)).collect()[0]
+    assert (est.v_empty, est.est_distinct) == (256, 0)
+
+
+def test_hll_estimate_guards_int64_alpha_budget(spark):
+    # registers saturated at the cap == cardinality ~2^40 * m: the alpha
+    # multiply would leave int64, so the job must FAIL, never wrap
+    saturated = spark.range(256).select(
+        F.col("id").alias("bucket"), F.lit(40).alias("rho")
+    )
+    with pytest.raises(Exception, match="alpha budget"):
+        hll_estimate(saturated, buckets=256, rho_cap=40).collect()
