@@ -167,6 +167,97 @@ def hll_sketch(
     )
 
 
+def hll_sketch_grouped(
+    keys: DataFrame,
+    group_col: str,
+    key_col: str = "key",
+    buckets: int = 256,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """(group, bucket, rho): one full register table PER GROUP — G*m
+    aggregation keys regardless of corpus size (per-language / per-domain
+    vocabulary richness at 100 TB without a per-group COUNT(DISTINCT)
+    shuffle).  The group spine comes from the keys themselves (one
+    G-sized distinct), so every observed group gets all m registers."""
+    h_b = F.pmod(
+        _hash60(F.concat(F.lit("b|"), F.col(key_col))), F.lit(buckets)
+    )
+    h_r = _hash60(F.concat(F.lit("r|"), F.col(key_col)))
+    rho = F.least(F.lit(rho_cap), F.lit(61) - F.length(F.bin(h_r)))
+    reg = (
+        keys.select(
+            F.col(group_col), h_b.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spine = (
+        keys.select(group_col)
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                keys.sparkSession.range(buckets).select(
+                    F.col("id").cast("long").alias("bucket")
+                )
+            )
+        )
+    )
+    return spine.join(reg, [group_col, "bucket"], "left").select(
+        group_col,
+        "bucket",
+        F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho"),
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame,
+    group_col: str,
+    buckets: int = 256,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """Per-group (m, v_empty, s_scaled, est_distinct) — the grouped
+    analogue of ``hll_estimate``, same integer-exact arithmetic and the
+    same int64 alpha-budget guard per group."""
+    alpha = _hll_alpha_ppm(buckets)
+    m2c = buckets * buckets * (1 << rho_cap)
+    q_budget = (1 << 62) // alpha
+    agg = registers.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_cap} - rho)")
+        ).alias("s_scaled"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_empty"),
+        F.count("*").alias("m"),
+    )
+    q = agg.withColumn(
+        "__q", F.expr(f"CAST({m2c} AS BIGINT) div s_scaled")
+    ).withColumn(
+        "__qc",
+        F.when(
+            F.assert_true(
+                F.col("__q") < F.lit(q_budget),
+                F.concat(
+                    F.lit("hll_estimate: harmonic term exceeds the int64 "
+                          "alpha budget in group "),
+                    F.col(group_col).cast("string"),
+                ),
+            ).isNull(),
+            F.col("__q"),
+        ),
+    )
+    return q.select(
+        group_col,
+        F.col("m").cast("long").alias("m"),
+        "v_empty",
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        F.expr(
+            "CAST(CASE WHEN v_empty = m THEN 0 "
+            f"ELSE ({alpha} * __qc) div 1000000 END AS BIGINT)"
+        ).alias("est_distinct"),
+    )
+
+
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Bucket-wise max over any number of register tables — the shard
     combine.  union + one m-key groupBy; output is again a full

@@ -74,6 +74,7 @@ _R5_FRONT = (
     "countmin_frequency_estimates",
     "hll_registers",
     "hll_distinct_estimate",
+    "hll_vocab_by_lang",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -4267,6 +4268,70 @@ def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("word").cast("long").alias("exact_distinct")
     )
     return est.crossJoin(exact)
+
+
+@register(
+    "hll_vocab_by_lang",
+    oracle=f"""
+WITH wds AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+occ AS (SELECT lang, word FROM wds WHERE word <> ''),
+hv AS (
+  SELECT lang,
+         (('0x' || substr(md5('b|' || word), 1, 15))::BIGINT % 256) AS bucket,
+         ('0x' || substr(md5('r|' || word), 1, 15))::BIGINT AS hr
+  FROM occ
+),
+rh AS (SELECT lang, bucket, LEAST(40, 61 - length(bin(hr))) AS rho FROM hv),
+langs AS (SELECT DISTINCT lang FROM occ),
+reg AS (
+  SELECT langs.lang, gs.b AS bucket,
+         CAST(COALESCE(MAX(rh.rho), 0) AS BIGINT) AS rho
+  FROM langs CROSS JOIN generate_series(0, 255) gs(b)
+  LEFT JOIN rh ON rh.lang = langs.lang AND rh.bucket = gs.b
+  GROUP BY langs.lang, gs.b
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(1::BIGINT << (40 - rho)) AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM reg GROUP BY lang
+),
+ex AS (
+  SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT) AS exact_distinct
+  FROM occ GROUP BY lang
+)
+SELECT agg.lang, m, v_empty, s_scaled,
+       CAST(CASE WHEN v_empty = m THEN 0
+            ELSE ({_HLL_ALPHA_PPM_256}
+                  * (CAST({_HLL_M2C_256} AS BIGINT) // s_scaled)) // 1000000
+            END AS BIGINT) AS est_distinct,
+       ex.exact_distinct
+FROM agg JOIN ex ON agg.lang = ex.lang
+""",
+)
+def hll_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary cardinality via grouped HyperLogLog
+    (operators/sketches.hll_sketch_grouped): G*m aggregation keys
+    regardless of corpus size — the per-domain/per-language richness
+    profile that would otherwise cost a per-group COUNT(DISTINCT)
+    keyspace shuffle at 100 TB.  Same integer-exact estimator as
+    ``hll_distinct_estimate``, replayed per group by the oracle; exact
+    counts joined in for audit."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    reg = SK.hll_sketch_grouped(wds, "lang", key_col="word")
+    est = SK.hll_estimate_grouped(reg, "lang")
+    exact = wds.groupBy("lang").agg(
+        F.count_distinct("word").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
 
 
 @register(

@@ -106,6 +106,31 @@ def test_hll_empty_stream_estimates_zero(spark):
     assert (est.v_empty, est.est_distinct) == (256, 0)
 
 
+def test_hll_grouped_matches_per_group_ungrouped(spark):
+    # grouped sketch/estimate == running the ungrouped pipeline on each
+    # group's slice — and a constant group reproduces the global numbers
+    from table_extractor_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+
+    keys = _dup_keys(spark, 900).withColumn(
+        "grp", F.pmod(F.crc32(F.col("key")), F.lit(2)).cast("string")
+    )
+    grouped = {
+        r.grp: (r.s_scaled, r.v_empty, r.est_distinct)
+        for r in hll_estimate_grouped(
+            hll_sketch_grouped(keys, "grp"), "grp"
+        ).collect()
+    }
+    assert set(grouped) == {"0", "1"}
+    for g in ("0", "1"):
+        solo = hll_estimate(
+            hll_sketch(keys.filter(F.col("grp") == g))
+        ).collect()[0]
+        assert grouped[g] == (solo.s_scaled, solo.v_empty, solo.est_distinct)
+
+
 def test_hll_estimate_guards_int64_alpha_budget(spark):
     # registers saturated at the cap == cardinality ~2^40 * m: the alpha
     # multiply would leave int64, so the job must FAIL, never wrap
