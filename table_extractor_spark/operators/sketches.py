@@ -1,4 +1,9 @@
-"""Frequency sketches: count-min over a corpus-scale key stream.
+"""Bounded-state sketches over corpus-scale streams: count-min
+(frequency), HyperLogLog (cardinality), Bloom (membership), equi-width
+histogram (quantile brackets).  Common contract: the aggregation key
+space is bounded regardless of corpus size, partials combine map-side,
+the result broadcasts, and every hash is md5-prefix-deterministic so a
+DuckDB oracle replays the sketch bit-for-bit.
 
 Count-min (Cormode & Muthukrishnan, "An Improved Data Stream Summary:
 The Count-Min Sketch and its Applications", J. Algorithms 2005 — public
@@ -255,6 +260,151 @@ def hll_estimate_grouped(
             "CAST(CASE WHEN v_empty = m THEN 0 "
             f"ELSE ({alpha} * __qc) div 1000000 END AS BIGINT)"
         ).alias("est_distinct"),
+    )
+
+
+# --- Bloom filter membership sketch -----------------------------------------
+#
+# Bloom, "Space/time trade-offs in hash coding with allowable errors",
+# CACM 1970 — public method, independent implementation.  k salted
+# hashes set k bits per member; a probe is "possibly present" iff all k
+# of its bits are set.  No false negatives ever; false positives at the
+# classic (1 - e^(-kn/m))^k rate.
+#
+# Why it matters at 100 TB: the standing-corpus membership screen.  An
+# incoming batch that must be checked against 10^12 already-ingested
+# doc ids (or URL hashes, or benchmark grams) cannot afford a join
+# against the standing index per batch.  The bloom's set-bit table is
+# at most m rows REGARDLESS of member count, partial-combines map-side,
+# and broadcasts — so the batch filters map-side and only bloom-positive
+# rows (true members + the bounded false-positive tail) proceed to the
+# exact standing-index join.  bloom_hit = 0 is a PROOF of novelty.
+#
+# Determinism: same md5-prefix hash family as count-min, salted per
+# hash row, so a DuckDB oracle replays every bit and every verdict.
+
+
+def bloom_bits(
+    members: DataFrame,
+    key_col: str = "key",
+    bits: int = 1024,
+    hashes: int = 3,
+) -> DataFrame:
+    """(bit,): the distinct set-bit table — at most ``bits`` rows no
+    matter how many members.  bit_h = H(h || '|' || key) % bits."""
+    return (
+        members.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(hashes - 1)),
+                    lambda h: F.pmod(
+                        _hash60(
+                            F.concat(
+                                h.cast("string"), F.lit("|"), F.col(key_col)
+                            )
+                        ),
+                        F.lit(bits),
+                    ),
+                )
+            ).alias("bit")
+        )
+        .groupBy("bit")
+        .agg(F.count("*").alias("__n"))
+        .select("bit")
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    bits: int = 1024,
+    hashes: int = 3,
+) -> DataFrame:
+    """(key, bloom_hit): 1 iff ALL k bits of the key are set.  The
+    set-bit table broadcasts; each probe joins its k bits map-side —
+    neither side shuffles by key."""
+    pbits = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(hashes - 1)),
+                lambda h: F.pmod(
+                    _hash60(
+                        F.concat(
+                            h.cast("string"), F.lit("|"), F.col(key_col)
+                        )
+                    ),
+                    F.lit(bits),
+                ),
+            )
+        ).alias("bit"),
+    )
+    marked = pbits.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("__set"), F.lit(0)))
+        .cast("long")
+        .alias("bloom_hit")
+    )
+
+
+# --- Histogram quantile sketch ----------------------------------------------
+#
+# The equi-width histogram: bin = value div bin_width, one bounded-key
+# groupBy (value-range/bin_width cells regardless of row count,
+# map-side partial combine).  A p-quantile is then bracketed by the
+# first bin whose cumulative count reaches ceil(p * N): the true
+# quantile lies in [bin*w, bin*w + w - 1] by construction — a hard
+# bracket, not a probabilistic one.  Integer-exact end-to-end (ppm
+# probabilities, bigint cumulative compare), so a DuckDB oracle replays
+# every bin and every bracket.  At 100 TB this replaces a full sort /
+# exact percentile shuffle with one bounded aggregation whose result
+# broadcasts.
+
+
+def histogram_sketch(
+    vals: DataFrame, val_col: str = "val", bin_width: int = 8
+) -> DataFrame:
+    """(bin, cnt): equi-width histogram over a non-negative integer
+    column.  Bounded key space: max(val)/bin_width bins."""
+    return (
+        vals.select(
+            F.expr(f"CAST({val_col} AS BIGINT) div {bin_width}").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantile_brackets(
+    hist: DataFrame, probs_ppm, bin_width: int = 8
+) -> DataFrame:
+    """(p_ppm, est_lo, est_hi): for each probability (ppm), the
+    bracketing bin — the first bin where cum * 10^6 >= p_ppm * N.
+    The histogram is tiny (bounded bins), so the window cumsum and the
+    probs cross join never touch corpus-scale data."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+    probs = spark.createDataFrame(
+        [(int(p),) for p in probs_ppm], "p_ppm bigint"
+    )
+    hit = cum.crossJoin(F.broadcast(probs)).filter(
+        F.col("cum") * F.lit(1_000_000) >= F.col("p_ppm") * F.col("n_total")
+    )
+    return hit.groupBy("p_ppm").agg(
+        (F.min("bin") * F.lit(bin_width)).cast("long").alias("est_lo"),
+        (F.min("bin") * F.lit(bin_width) + F.lit(bin_width - 1))
+        .cast("long")
+        .alias("est_hi"),
     )
 
 

@@ -139,3 +139,80 @@ def test_hll_estimate_guards_int64_alpha_budget(spark):
     )
     with pytest.raises(Exception, match="alpha budget"):
         hll_estimate(saturated, buckets=256, rho_cap=40).collect()
+
+
+# --- Bloom membership --------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from table_extractor_spark.operators.sketches import bloom_bits, bloom_probe
+
+    members = _keys(spark, [f"m{i}" for i in range(200)])
+    # narrow filter: plenty of collisions, yet every member must hit
+    bloom = bloom_bits(members, bits=256, hashes=3)
+    hits = bloom_probe(bloom, members, bits=256, hashes=3)
+    assert hits.filter(F.col("bloom_hit") == 0).count() == 0
+
+
+def test_bloom_miss_proves_novelty_and_fp_rate_is_bounded(spark):
+    from table_extractor_spark.operators.sketches import bloom_bits, bloom_probe
+
+    members = _keys(spark, [f"m{i}" for i in range(200)])
+    outsiders = _keys(spark, [f"x{i}" for i in range(400)])
+    bloom = bloom_bits(members, bits=4096, hashes=3)
+    hits = bloom_probe(bloom, outsiders, bits=4096, hashes=3)
+    fp = hits.filter(F.col("bloom_hit") == 1).count()
+    # fill ratio 1-e^(-600/4096) ~ 13.6% -> FP ~ 0.25%; 3 sigma headroom
+    assert fp <= 12
+    # and a miss is a PROOF of absence: nothing in members may miss
+    assert bloom_probe(bloom, members, bits=4096, hashes=3).filter(
+        F.col("bloom_hit") == 0
+    ).count() == 0
+
+
+def test_bloom_bits_bounded_and_partition_invariant(spark):
+    from table_extractor_spark.operators.sketches import bloom_bits
+
+    members = _keys(spark, [f"m{i}" for i in range(3000)])
+    one = bloom_bits(members.coalesce(1), bits=512, hashes=4)
+    many = bloom_bits(members.repartition(13), bits=512, hashes=4)
+    assert one.count() <= 512
+    assert sorted(r.bit for r in one.collect()) == sorted(
+        r.bit for r in many.collect()
+    )
+
+
+# --- Histogram quantile brackets ---------------------------------------------
+
+
+def test_histogram_brackets_contain_the_exact_quantile(spark):
+    from table_extractor_spark.operators.sketches import (
+        histogram_quantile_brackets,
+        histogram_sketch,
+    )
+
+    vals = spark.range(1, 1001).select(F.col("id").alias("val"))  # 1..1000
+    hist = histogram_sketch(vals, bin_width=8)
+    probs = (250_000, 500_000, 750_000, 990_000)
+    br = {
+        r.p_ppm: (r.est_lo, r.est_hi)
+        for r in histogram_quantile_brackets(hist, probs).collect()
+    }
+    # exact p-quantile of 1..1000 = ceil(p * 1000)
+    for p in probs:
+        exact = -(-p * 1000 // 1_000_000)
+        lo, hi = br[p]
+        assert lo <= exact <= hi, (p, lo, exact, hi)
+        assert hi - lo == 7  # one bin wide: a hard bracket
+
+
+def test_histogram_sketch_bounded_and_partition_invariant(spark):
+    from table_extractor_spark.operators.sketches import histogram_sketch
+
+    vals = spark.range(100_000).select((F.col("id") % 97).alias("val"))
+    one = histogram_sketch(vals.coalesce(1), bin_width=8)
+    many = histogram_sketch(vals.repartition(17), bin_width=8)
+    assert one.count() <= 97 // 8 + 1
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
