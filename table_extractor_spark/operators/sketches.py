@@ -321,15 +321,23 @@ def bloom_probe(
     bits: int = 1024,
     hashes: int = 3,
 ) -> DataFrame:
-    """(key, bloom_hit): 1 iff ALL k bits of the key are set.  The
-    set-bit table broadcasts; each probe joins its k bits map-side —
-    neither side shuffles by key."""
-    pbits = probes.select(
-        F.col(key_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(hashes - 1)),
-                lambda h: F.pmod(
+    """probes + (bloom_hit,): 1 iff ALL k bits of the key are set.
+
+    The set-bit table collapses to ONE sorted-array row (<= ``bits``
+    elements) that broadcasts; each probe row then answers map-side via
+    forall/array_contains — the probe side never shuffles, never
+    explodes, and keeps every other probe column.  This is the shape
+    that screens a 10^12-row incoming batch: one tiny broadcast, zero
+    exchanges on the big side."""
+    barr = F.broadcast(
+        bloom.agg(F.sort_array(F.collect_set("bit")).alias("__bloom_bits"))
+    )
+    hit = F.forall(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(hashes - 1)),
+            lambda h: F.array_contains(
+                F.col("__bloom_bits"),
+                F.pmod(
                     _hash60(
                         F.concat(
                             h.cast("string"), F.lit("|"), F.col(key_col)
@@ -337,16 +345,14 @@ def bloom_probe(
                     ),
                     F.lit(bits),
                 ),
-            )
-        ).alias("bit"),
+            ),
+        ),
+        lambda x: x,
     )
-    marked = pbits.join(
-        F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left"
-    )
-    return marked.groupBy(key_col).agg(
-        F.min(F.coalesce(F.col("__set"), F.lit(0)))
-        .cast("long")
-        .alias("bloom_hit")
+    return (
+        probes.crossJoin(barr)
+        .withColumn("bloom_hit", hit.cast("long"))
+        .drop("__bloom_bits")
     )
 
 

@@ -4382,14 +4382,12 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = SK.bloom_bits(
         ids.filter(F.col("doc_id") % 3 != 0), bits=1024, hashes=3
     )
-    hits = SK.bloom_probe(bloom, ids.select("key"), bits=1024, hashes=3)
-    return (
-        ids.join(hits, "key")
-        .select(
-            "doc_id",
-            "bloom_hit",
-            (F.col("doc_id") % 3 != 0).cast("long").alias("exact_member"),
-        )
+    # the probe side stays shuffle-free: one broadcast bit array, verdict
+    # computed map-side, exact_member derived in the same projection
+    return SK.bloom_probe(bloom, ids, bits=1024, hashes=3).select(
+        "doc_id",
+        "bloom_hit",
+        (F.col("doc_id") % 3 != 0).cast("long").alias("exact_member"),
     )
 
 

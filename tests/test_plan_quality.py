@@ -349,3 +349,34 @@ def test_round5_queries_plan_shape(spark):
     plan = formatted(q["winnowing_overlap_pairs"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_sketch_queries_plan_shape(spark):
+    """Sketch queries stay scale-right: the bloom probe side is
+    shuffle-FREE (one broadcast bit-array row, verdict map-side — the
+    only exchanges belong to the tiny bloom build), the probe scan is
+    column-pruned to doc_id, and the histogram quantile query's only
+    corpus-keyed operation is the bounded-bin aggregation (no joins on
+    corpus keys, no Python anywhere)."""
+    from table_extractor_spark.plans import queries as Q
+
+    q = Q.queries()
+    plan = formatted(q["bloom_dedup_prefilter"](spark, SF))
+    # probe resolution is a broadcast nested-loop against ONE row, never
+    # a per-key join: no hash/merge join may appear
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the only exchanges are the bloom build's (one single-partition
+    # shuffle + one broadcast); the probe side contributes none
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) <= 1, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = formatted(q["doc_length_quantile_sketch"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
