@@ -4460,7 +4460,7 @@ def doc_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = SK.histogram_quantile_brackets(
         SK.histogram_sketch(tc, val_col="n", bin_width=1), probs, bin_width=1
     ).select("p_ppm", F.col("est_lo").alias("exact_q"))
-    return br.join(ex, "p_ppm").select(
+    return br.join(F.broadcast(ex), "p_ppm").select(
         "p_ppm", "est_lo", "est_hi", "exact_q"
     )
 
