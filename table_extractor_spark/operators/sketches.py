@@ -263,6 +263,44 @@ def hll_estimate_grouped(
     )
 
 
+def countmin_heavy_hitters(
+    keys: DataFrame,
+    threshold: int,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """(key, est_cnt, cnt): every key with true count >= threshold —
+    exact counts, PROVABLY complete, found without shuffling the full
+    occurrence stream by key.
+
+    Two passes: (1) the count-min sketch screens the distinct-key table
+    (est_cnt = MIN over d cells >= true count ALWAYS, so screening on
+    est_cnt >= threshold can never drop a true heavy hitter); (2) the
+    exact groupBy runs only on occurrences of surviving candidates —
+    the broadcast semi-join prunes the corpus BEFORE the shuffle, so
+    shuffle volume is candidate occurrences, not the corpus.  False
+    candidates (collision noise) are then removed by the exact count.
+    At 100 TB: sketch = d*w bounded cells, candidates = heavy tail +
+    noise, and the only corpus-keyed shuffle left is over keys that are
+    actually hot."""
+    sk = countmin_sketch(keys, key_col=key_col, depth=depth, width=width)
+    cand = countmin_estimate(
+        sk,
+        keys.select(key_col).distinct(),
+        key_col=key_col,
+        depth=depth,
+        width=width,
+    ).filter(F.col("est_cnt") >= F.lit(threshold))
+    pruned = keys.join(F.broadcast(cand), key_col)
+    return (
+        pruned.groupBy(key_col, "est_cnt")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+        .select(key_col, "est_cnt", "cnt")
+    )
+
+
 # --- Bloom filter membership sketch -----------------------------------------
 #
 # Bloom, "Space/time trade-offs in hash coding with allowable errors",

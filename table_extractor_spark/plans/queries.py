@@ -77,6 +77,7 @@ _R5_FRONT = (
     "hll_vocab_by_lang",
     "bloom_dedup_prefilter",
     "doc_length_quantile_sketch",
+    "frequent_trigrams_screen",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -4389,6 +4390,71 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_hit",
         (F.col("doc_id") % 3 != 0).cast("long").alias("exact_member"),
     )
+
+
+@register(
+    "frequent_trigrams_screen",
+    oracle="""
+WITH dd AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+pos AS (
+  SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM dd WHERE len(w) >= 3
+),
+g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS key FROM pos),
+cells AS (
+  SELECT t.r AS row,
+         (('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || g.key),
+                          1, 15))::BIGINT % 4096) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g, generate_series(0, 3) t(r)
+  GROUP BY 1, 2
+),
+dk AS (SELECT DISTINCT key FROM g),
+est AS (
+  SELECT dk.key, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+  FROM dk CROSS JOIN generate_series(0, 3) t(r)
+  JOIN cells c
+    ON c.row = t.r
+   AND c.cell = (('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || dk.key),
+                                 1, 15))::BIGINT % 4096)
+  GROUP BY dk.key
+),
+cand AS (SELECT * FROM est WHERE est_cnt >= 5),
+exact AS (
+  SELECT g.key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g JOIN cand ON g.key = cand.key
+  GROUP BY g.key
+)
+SELECT cand.key, cand.est_cnt, exact.cnt
+FROM cand JOIN exact ON cand.key = exact.key
+WHERE exact.cnt >= 5
+""",
+)
+def frequent_trigrams_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-screened heavy hitters (operators/sketches.
+    countmin_heavy_hitters) over word trigrams: the count-min sketch
+    screens the distinct-gram table (est >= true ALWAYS, so no true
+    hitter can be dropped), the broadcast candidate set prunes the
+    corpus BEFORE the exact groupBy, and the exact pass removes the
+    collision-noise candidates — exact, provably complete hot-gram
+    mining whose only corpus-keyed shuffle is over keys that are
+    actually hot.  The oracle replays sketch, screen, and exact pass."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(F.split(F.lower(F.col("text")), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("key")
+        )
+    )
+    return SK.countmin_heavy_hitters(grams, threshold=5)
 
 
 @register(

@@ -380,3 +380,11 @@ def test_sketch_queries_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "partial_count" in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+    # heavy-hitter screen: the candidate set broadcasts into the corpus
+    # BEFORE the exact groupBy — broadcast joins only, no big-big join
+    plan = formatted(q["frequent_trigrams_screen"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

@@ -216,3 +216,35 @@ def test_histogram_sketch_bounded_and_partition_invariant(spark):
     assert sorted(map(tuple, one.collect())) == sorted(
         map(tuple, many.collect())
     )
+
+
+# --- Count-min screened heavy hitters ---------------------------------------
+
+
+def test_heavy_hitters_complete_and_exact_under_collisions(spark):
+    from table_extractor_spark.operators.sketches import countmin_heavy_hitters
+
+    stream = (
+        (["hot1"] * 20) + (["hot2"] * 12) + (["warm"] * 5)
+        + [f"cold{i}" for i in range(300)]
+    )
+    keys = _keys(spark, stream)
+    # deliberately narrow: heavy collision noise in the screen — yet no
+    # true hitter may be lost (est >= true) and every reported count is
+    # EXACT (the second pass), with est_cnt >= cnt visible per row
+    got = {
+        r.key: (r.est_cnt, r.cnt)
+        for r in countmin_heavy_hitters(
+            keys, threshold=10, depth=4, width=32
+        ).collect()
+    }
+    assert set(got) == {"hot1", "hot2"}
+    assert got["hot1"][1] == 20 and got["hot2"][1] == 12
+    assert all(est >= cnt for est, cnt in got.values())
+
+
+def test_heavy_hitters_empty_when_nothing_is_hot(spark):
+    from table_extractor_spark.operators.sketches import countmin_heavy_hitters
+
+    keys = _keys(spark, [f"k{i}" for i in range(100)])
+    assert countmin_heavy_hitters(keys, threshold=2).count() == 0
