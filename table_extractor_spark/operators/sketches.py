@@ -452,6 +452,55 @@ def histogram_quantile_brackets(
     )
 
 
+def histogram_sketch_grouped(
+    vals: DataFrame,
+    group_col: str,
+    val_col: str = "val",
+    bin_width: int = 8,
+) -> DataFrame:
+    """(group, bin, cnt): one equi-width histogram per group — G * bins
+    aggregation keys regardless of row count (per-language/per-source
+    length profiles at 100 TB without a per-group sort)."""
+    return (
+        vals.select(
+            F.col(group_col),
+            F.expr(f"CAST({val_col} AS BIGINT) div {bin_width}").alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantile_brackets_grouped(
+    hist: DataFrame, group_col: str, probs_ppm, bin_width: int = 8
+) -> DataFrame:
+    """(group, p_ppm, est_lo, est_hi): per-group quantile brackets —
+    the grouped analogue of ``histogram_quantile_brackets``; the window
+    partitions by group, so no single-partition stage appears even when
+    G is large."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    g = Window.partitionBy(group_col)
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(g.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        ))
+    ).withColumn("n_total", F.sum("cnt").over(g))
+    probs = spark.createDataFrame(
+        [(int(p),) for p in probs_ppm], "p_ppm bigint"
+    )
+    hit = cum.crossJoin(F.broadcast(probs)).filter(
+        F.col("cum") * F.lit(1_000_000) >= F.col("p_ppm") * F.col("n_total")
+    )
+    return hit.groupBy(group_col, "p_ppm").agg(
+        (F.min("bin") * F.lit(bin_width)).cast("long").alias("est_lo"),
+        (F.min("bin") * F.lit(bin_width) + F.lit(bin_width - 1))
+        .cast("long")
+        .alias("est_hi"),
+    )
+
+
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Bucket-wise max over any number of register tables — the shard
     combine.  union + one m-key groupBy; output is again a full

@@ -77,6 +77,7 @@ _R5_FRONT = (
     "hll_vocab_by_lang",
     "bloom_dedup_prefilter",
     "doc_length_quantile_sketch",
+    "doc_length_quantiles_by_lang",
     "frequent_trigrams_screen",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
@@ -4389,6 +4390,86 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "bloom_hit",
         (F.col("doc_id") % 3 != 0).cast("long").alias("exact_member"),
+    )
+
+
+@register(
+    "doc_length_quantiles_by_lang",
+    oracle="""
+WITH tc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w <> '')) AS BIGINT) AS n
+  FROM documents
+),
+hist AS (SELECT lang, n // 8 AS bin, COUNT(*) AS cnt FROM tc GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bin,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n_total
+  FROM hist
+),
+probs AS (SELECT * FROM (VALUES (500000), (900000)) p(p_ppm)),
+br AS (
+  SELECT c.lang, p.p_ppm, MIN(c.bin) AS qbin
+  FROM probs p JOIN cum c ON c.cum * 1000000 >= p.p_ppm * c.n_total
+  GROUP BY c.lang, p.p_ppm
+),
+vc AS (SELECT lang, n, COUNT(*) AS cnt FROM tc GROUP BY 1, 2),
+vcum AS (
+  SELECT lang, n,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n_total
+  FROM vc
+),
+ex AS (
+  SELECT v.lang, p.p_ppm, MIN(v.n) AS exact_q
+  FROM probs p JOIN vcum v ON v.cum * 1000000 >= p.p_ppm * v.n_total
+  GROUP BY v.lang, p.p_ppm
+)
+SELECT br.lang, CAST(br.p_ppm AS BIGINT) AS p_ppm,
+       CAST(br.qbin * 8 AS BIGINT) AS est_lo,
+       CAST(br.qbin * 8 + 7 AS BIGINT) AS est_hi,
+       CAST(ex.exact_q AS BIGINT) AS exact_q
+FROM br JOIN ex ON br.lang = ex.lang AND br.p_ppm = ex.p_ppm
+""",
+)
+def doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length profile via grouped histogram quantile
+    brackets (operators/sketches.histogram_sketch_grouped): G * bins
+    aggregation keys, the cumsum window partitioned by group (no
+    single-partition stage at any G), and the exact per-group quantile
+    rides along at bin_width = 1 so one driver hash pins per-group
+    bracket containment — the per-domain doc-length audit a curation
+    pipeline wants at 100 TB without per-group sorts."""
+    from ..operators import sketches as SK
+
+    probs = (500_000, 900_000)
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda w: w != ""
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    br = SK.histogram_quantile_brackets_grouped(
+        SK.histogram_sketch_grouped(tc, "lang", val_col="n", bin_width=8),
+        "lang",
+        probs,
+        bin_width=8,
+    )
+    ex = SK.histogram_quantile_brackets_grouped(
+        SK.histogram_sketch_grouped(tc, "lang", val_col="n", bin_width=1),
+        "lang",
+        probs,
+        bin_width=1,
+    ).select("lang", "p_ppm", F.col("est_lo").alias("exact_q"))
+    return br.join(F.broadcast(ex), ["lang", "p_ppm"]).select(
+        "lang", "p_ppm", "est_lo", "est_hi", "exact_q"
     )
 
 

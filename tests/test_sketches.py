@@ -248,3 +248,33 @@ def test_heavy_hitters_empty_when_nothing_is_hot(spark):
 
     keys = _keys(spark, [f"k{i}" for i in range(100)])
     assert countmin_heavy_hitters(keys, threshold=2).count() == 0
+
+
+def test_grouped_histogram_matches_per_group_ungrouped(spark):
+    from table_extractor_spark.operators.sketches import (
+        histogram_quantile_brackets,
+        histogram_quantile_brackets_grouped,
+        histogram_sketch,
+        histogram_sketch_grouped,
+    )
+
+    vals = spark.range(1, 2001).select(
+        F.col("id").alias("val"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+    )
+    probs = (250_000, 500_000, 750_000)
+    grouped = {
+        (r.grp, r.p_ppm): (r.est_lo, r.est_hi)
+        for r in histogram_quantile_brackets_grouped(
+            histogram_sketch_grouped(vals, "grp"), "grp", probs
+        ).collect()
+    }
+    for g in ("even", "odd"):
+        solo = {
+            r.p_ppm: (r.est_lo, r.est_hi)
+            for r in histogram_quantile_brackets(
+                histogram_sketch(vals.filter(F.col("grp") == g)), probs
+            ).collect()
+        }
+        for p in probs:
+            assert grouped[(g, p)] == solo[p]
