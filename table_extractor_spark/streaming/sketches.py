@@ -117,6 +117,92 @@ def standing_hll_estimate(
     )
 
 
+def start_stream_frequency_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_fn=_word_keys,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Maintain a standing count-min table over a (doc_id, text) landing
+    directory; returns the StreamingQuery (AvailableNow).
+
+    The merge law is the difference from the HLL stream: count cells
+    ADD across batches (SUM), they don't MAX — so re-delivering a batch
+    WOULD double-count.  Idempotence therefore rests entirely on the
+    ``batch_id=`` dynamic-partition OVERWRITE (a retried batch replaces
+    its own cells), not on the merge law itself.  The general rule the
+    pair documents: max-merged sketches are doubly retry-safe, additive
+    sketches are retry-safe exactly as long as each batch's contribution
+    lives in its own replaceable partition."""
+    from ..operators.sketches import countmin_sketch
+
+    docs = (
+        spark.readStream.schema("doc_id string, text string")
+        .parquet(input_dir)
+    )
+
+    def sketch_batch(batch_df, batch_id: int) -> None:
+        spark_ = batch_df.sparkSession
+        cells = countmin_sketch(
+            key_fn(batch_df), depth=depth, width=width
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        prev = spark_.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cells.write.mode("overwrite").partitionBy("batch_id").parquet(
+                cells_dir
+            )
+        finally:
+            spark_.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return (
+        docs.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def standing_countmin_cells(spark: SparkSession, cells_dir: str) -> DataFrame:
+    """(row, cell, cnt): the merged standing sketch — SUM over every
+    batch partition's cells (additive merge law)."""
+    return (
+        spark.read.parquet(cells_dir)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def standing_countmin_estimate(
+    spark: SparkSession,
+    cells_dir: str,
+    queries: DataFrame,
+    key_col: str = "key",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(key, est_cnt) for the queried keys against the stream so far —
+    operators/sketches.countmin_estimate over the merged cells."""
+    from ..operators.sketches import countmin_estimate
+
+    return countmin_estimate(
+        standing_countmin_cells(spark, cells_dir),
+        queries,
+        key_col=key_col,
+        depth=depth,
+        width=width,
+    )
+
+
 def compact_hll_registers(
     spark: SparkSession, registers_dir: str
 ) -> None:

@@ -114,3 +114,67 @@ def test_compaction_is_lossless(spark, tmp_path):
     raw = spark.read.parquet(reg)
     assert [r.batch_id for r in raw.select("batch_id").distinct().collect()] == [0]
     assert raw.count() == 256
+
+
+# --- Standing count-min (additive merge law) ---------------------------------
+
+
+def test_standing_countmin_tracks_stream_and_retry_replaces(spark, tmp_path):
+    from table_extractor_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from table_extractor_spark.streaming.sketches import (
+        standing_countmin_estimate,
+        start_stream_frequency_sketch,
+    )
+
+    inp = str(tmp_path / "landing")
+    cells = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_stream_frequency_sketch(spark, inp, cells, ckpt)
+        q.awaitTermination(120)
+
+    _docs(spark, 0, 200).write.mode("append").parquet(inp)
+    drain()
+    _docs(spark, 200, 500).write.mode("append").parquet(inp)
+    drain()
+
+    probes = spark.createDataFrame(
+        [("w0",), ("w250",), ("w499",)], ["key"]
+    )
+    got = {
+        r.key: r.est_cnt
+        for r in standing_countmin_estimate(spark, cells, probes).collect()
+    }
+    # whole-corpus single-batch sketch must estimate identically: the
+    # per-batch SUM merge is exactly the whole-stream cell table
+    from table_extractor_spark.streaming.sketches import _word_keys
+
+    whole = countmin_sketch(_word_keys(_docs(spark, 0, 500)), width=1024)
+    exp = {
+        r.key: r.est_cnt
+        for r in countmin_estimate(whole, probes, width=1024).collect()
+    }
+    assert got == exp
+    # count-min never underestimates: w250 occurs in docs 246..250 -> 5
+    assert got["w250"] >= 5
+
+    # retry of batch 0: additive cells WOULD double-count; the partition
+    # overwrite is what makes it idempotent
+    redo = countmin_sketch(
+        _word_keys(_docs(spark, 0, 200)), width=1024
+    ).withColumn("batch_id", F.lit(0))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        redo.write.mode("overwrite").partitionBy("batch_id").parquet(cells)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = {
+        r.key: r.est_cnt
+        for r in standing_countmin_estimate(spark, cells, probes).collect()
+    }
+    assert after == exp
