@@ -88,10 +88,16 @@ def countmin_estimate(
             )
         ).alias("row", "cell"),
     )
+    # LEFT join + coalesce 0: a cell the stream never touched is a ZERO
+    # counter — the sketch's proof that the key was never seen.  An
+    # inner join would drop never-seen probe keys entirely and run MIN
+    # over only the surviving cells for partially-missing ones.
     return (
-        qcells.join(F.broadcast(sketch), ["row", "cell"])
+        qcells.join(F.broadcast(sketch), ["row", "cell"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
+        )
     )
 
 
@@ -195,6 +201,7 @@ def hll_sketch_grouped(
         )
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("rho"))
+        .alias("reg")
     )
     spine = (
         keys.select(group_col)
@@ -206,11 +213,20 @@ def hll_sketch_grouped(
                 )
             )
         )
+        .alias("spine")
     )
-    return spine.join(reg, [group_col, "bucket"], "left").select(
-        group_col,
-        "bucket",
-        F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho"),
+    # eqNullSafe on the group key: a NULL group is a group like any
+    # other (a null-unsafe join would zero out its registers and
+    # silently estimate 0 for it)
+    return spine.join(
+        reg,
+        F.col(f"spine.{group_col}").eqNullSafe(F.col(f"reg.{group_col}"))
+        & (F.col("spine.bucket") == F.col("reg.bucket")),
+        "left",
+    ).select(
+        F.col(f"spine.{group_col}").alias(group_col),
+        F.col("spine.bucket").alias("bucket"),
+        F.coalesce(F.col("reg.rho"), F.lit(0)).cast("int").alias("rho"),
     )
 
 
@@ -271,30 +287,58 @@ def countmin_heavy_hitters(
     width: int = 4096,
 ) -> DataFrame:
     """(key, est_cnt, cnt): every key with true count >= threshold —
-    exact counts, PROVABLY complete, found without shuffling the full
-    occurrence stream by key.
+    exact counts, PROVABLY complete, and the only corpus-keyed shuffle
+    is over occurrences of candidate (hot-or-colliding) keys.
 
-    Two passes: (1) the count-min sketch screens the distinct-key table
-    (est_cnt = MIN over d cells >= true count ALWAYS, so screening on
-    est_cnt >= threshold can never drop a true heavy hitter); (2) the
-    exact groupBy runs only on occurrences of surviving candidates —
-    the broadcast semi-join prunes the corpus BEFORE the shuffle, so
-    shuffle volume is candidate occurrences, not the corpus.  False
-    candidates (collision noise) are then removed by the exact count.
-    At 100 TB: sketch = d*w bounded cells, candidates = heavy tail +
-    noise, and the only corpus-keyed shuffle left is over keys that are
-    actually hot."""
+    The sketch collapses to ONE broadcast map row (d*w entries,
+    bounded); every occurrence then computes its own estimate map-side
+    (MIN over its d cells) and the stream is FILTERED to est_cnt >=
+    threshold before any shuffle.  est >= true always, so no true heavy
+    hitter can be screened out; the exact groupBy that follows runs
+    only on surviving occurrences and removes the collision-noise
+    candidates.  No distinct-key pass, no data-dependent broadcast —
+    the broadcast side is the fixed-size sketch itself."""
     sk = countmin_sketch(keys, key_col=key_col, depth=depth, width=width)
-    cand = countmin_estimate(
-        sk,
-        keys.select(key_col).distinct(),
-        key_col=key_col,
-        depth=depth,
-        width=width,
-    ).filter(F.col("est_cnt") >= F.lit(threshold))
-    pruned = keys.join(F.broadcast(cand), key_col)
+    cmap = F.broadcast(
+        sk.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("row") * width + F.col("cell")).alias("k"),
+                        F.col("cnt").alias("v"),
+                    )
+                )
+            ).alias("__cm")
+        )
+    )
+    est = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda r: F.coalesce(
+                F.element_at(
+                    F.col("__cm"),
+                    r.cast("long") * F.lit(width)
+                    + F.pmod(
+                        _hash60(
+                            F.concat(
+                                r.cast("string"), F.lit("|"), F.col(key_col)
+                            )
+                        ),
+                        F.lit(width),
+                    ),
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    hot = (
+        keys.crossJoin(cmap)
+        .withColumn("est_cnt", est)
+        .filter(F.col("est_cnt") >= F.lit(threshold))
+        .drop("__cm")
+    )
     return (
-        pruned.groupBy(key_col, "est_cnt")
+        hot.groupBy(key_col, "est_cnt")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))
         .select(key_col, "est_cnt", "cnt")
@@ -330,26 +374,21 @@ def bloom_bits(
 ) -> DataFrame:
     """(bit,): the distinct set-bit table — at most ``bits`` rows no
     matter how many members.  bit_h = H(h || '|' || key) % bits."""
-    return (
-        members.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(hashes - 1)),
-                    lambda h: F.pmod(
-                        _hash60(
-                            F.concat(
-                                h.cast("string"), F.lit("|"), F.col(key_col)
-                            )
-                        ),
-                        F.lit(bits),
+    return members.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(hashes - 1)),
+                lambda h: F.pmod(
+                    _hash60(
+                        F.concat(
+                            h.cast("string"), F.lit("|"), F.col(key_col)
+                        )
                     ),
-                )
-            ).alias("bit")
-        )
-        .groupBy("bit")
-        .agg(F.count("*").alias("__n"))
-        .select("bit")
-    )
+                    F.lit(bits),
+                ),
+            )
+        ).alias("bit")
+    ).distinct()
 
 
 def bloom_probe(
@@ -422,6 +461,25 @@ def histogram_sketch(
     )
 
 
+# the ppm compare multiplies row counts by 10^6: int64-safe only below
+# ~4.6e12 rows per (group's) histogram — fail loudly past it (the
+# engine-wide exact-or-fail policy), never wrap
+_PPM_BUDGET = (1 << 62) // 1_000_000
+
+
+def _ppm_guarded_total(total_col: F.Column) -> F.Column:
+    return F.when(
+        F.assert_true(
+            total_col < F.lit(_PPM_BUDGET),
+            F.lit(
+                "histogram_quantile_brackets: row count exceeds the int64 "
+                "ppm budget (~4.6e12); shard the input or pre-aggregate"
+            ),
+        ).isNull(),
+        total_col,
+    )
+
+
 def histogram_quantile_brackets(
     hist: DataFrame, probs_ppm, bin_width: int = 8
 ) -> DataFrame:
@@ -437,7 +495,10 @@ def histogram_quantile_brackets(
         F.sum("cnt").over(
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
-    ).withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+    ).withColumn(
+        "n_total",
+        _ppm_guarded_total(F.sum("cnt").over(Window.partitionBy())),
+    )
     probs = spark.createDataFrame(
         [(int(p),) for p in probs_ppm], "p_ppm bigint"
     )
@@ -486,7 +547,7 @@ def histogram_quantile_brackets_grouped(
         "cum", F.sum("cnt").over(g.orderBy("bin").rowsBetween(
             Window.unboundedPreceding, 0
         ))
-    ).withColumn("n_total", F.sum("cnt").over(g))
+    ).withColumn("n_total", _ppm_guarded_total(F.sum("cnt").over(g)))
     probs = spark.createDataFrame(
         [(int(p),) for p in probs_ppm], "p_ppm bigint"
     )

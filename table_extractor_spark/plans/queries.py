@@ -4293,7 +4293,8 @@ reg AS (
   SELECT langs.lang, gs.b AS bucket,
          CAST(COALESCE(MAX(rh.rho), 0) AS BIGINT) AS rho
   FROM langs CROSS JOIN generate_series(0, 255) gs(b)
-  LEFT JOIN rh ON rh.lang = langs.lang AND rh.bucket = gs.b
+  LEFT JOIN rh ON rh.lang IS NOT DISTINCT FROM langs.lang
+              AND rh.bucket = gs.b
   GROUP BY langs.lang, gs.b
 ),
 agg AS (
@@ -4513,13 +4514,14 @@ WHERE exact.cnt >= 5
 )
 def frequent_trigrams_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-screened heavy hitters (operators/sketches.
-    countmin_heavy_hitters) over word trigrams: the count-min sketch
-    screens the distinct-gram table (est >= true ALWAYS, so no true
-    hitter can be dropped), the broadcast candidate set prunes the
-    corpus BEFORE the exact groupBy, and the exact pass removes the
-    collision-noise candidates — exact, provably complete hot-gram
-    mining whose only corpus-keyed shuffle is over keys that are
-    actually hot.  The oracle replays sketch, screen, and exact pass."""
+    countmin_heavy_hitters) over word trigrams: the sketch collapses to
+    one broadcast map row, every occurrence computes its own estimate
+    map-side and is filtered BEFORE any shuffle (est >= true ALWAYS, so
+    no true hitter can be dropped), and the exact groupBy that follows
+    runs only on surviving occurrences, removing collision noise —
+    exact, provably complete hot-gram mining whose only corpus-keyed
+    shuffle is over candidate occurrences.  The oracle replays sketch,
+    screen, and exact pass."""
     from ..operators import sketches as SK
 
     docs = load_table(spark, sf_dir, "documents")

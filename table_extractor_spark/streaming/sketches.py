@@ -33,6 +33,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.sketches import hll_estimate, hll_sketch
 
 
+def _write_batch_partition(df: DataFrame, path: str) -> None:
+    """Overwrite only this batch's own ``batch_id=`` partition.  The
+    dynamic mode is scoped to the single writer (the per-write option
+    takes precedence over the session conf), so a concurrent overwrite
+    write on the same session can never be silently flipped to dynamic
+    the way a session-conf toggle could flip it."""
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(path)
+
+
 def _word_keys(batch: DataFrame) -> DataFrame:
     """Default key stream: the batch's word occurrences (vocabulary
     tracking).  MAX makes duplicates invisible, so no distinct() here."""
@@ -63,22 +74,10 @@ def start_stream_distinct_count(
     )
 
     def sketch_batch(batch_df, batch_id: int) -> None:
-        spark_ = batch_df.sparkSession
         reg = hll_sketch(
             key_fn(batch_df), buckets=buckets, rho_cap=rho_cap
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        prev = spark_.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            reg.write.mode("overwrite").partitionBy("batch_id").parquet(
-                registers_dir
-            )
-        finally:
-            spark_.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+        _write_batch_partition(reg, registers_dir)
 
     return (
         docs.writeStream.foreachBatch(sketch_batch)
@@ -146,22 +145,10 @@ def start_stream_frequency_sketch(
     )
 
     def sketch_batch(batch_df, batch_id: int) -> None:
-        spark_ = batch_df.sparkSession
         cells = countmin_sketch(
             key_fn(batch_df), depth=depth, width=width
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        prev = spark_.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            cells.write.mode("overwrite").partitionBy("batch_id").parquet(
-                cells_dir
-            )
-        finally:
-            spark_.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+        _write_batch_partition(cells, cells_dir)
 
     return (
         docs.writeStream.foreachBatch(sketch_batch)
@@ -206,15 +193,20 @@ def standing_countmin_estimate(
 def compact_hll_registers(
     spark: SparkSession, registers_dir: str
 ) -> None:
-    """Fold all batch partitions into a single ``batch_id=0`` partition
-    holding the merged m registers.  localCheckpoint() materializes the
-    merge BEFORE the overwrite of the path being read (the same
-    read-then-overwrite safety rule as ``compact_near_dup_index``);
-    MAX-merge makes the fold lossless, so the standing estimate is
-    identical before and after."""
+    """Fold all batch partitions into a single ``batch_id=-1`` partition
+    holding the merged m registers.  The sentinel matters: streaming
+    batch ids are always >= 0, so a later stream into the same
+    directory (fresh checkpoint, ids restarting at 0) can never
+    dynamic-overwrite the merged history — folding into batch_id=0
+    would hand the whole compacted sketch to whichever future batch 0
+    comes along.  localCheckpoint() materializes the merge BEFORE the
+    overwrite of the path being read (the same read-then-overwrite
+    safety rule as ``compact_near_dup_index``); MAX-merge makes the
+    fold lossless, so the standing estimate is identical before and
+    after."""
     merged = (
         standing_hll_registers(spark, registers_dir)
-        .withColumn("batch_id", F.lit(0))
+        .withColumn("batch_id", F.lit(-1))
         .coalesce(1)
         .localCheckpoint()
     )

@@ -381,10 +381,12 @@ def test_sketch_queries_plan_shape(spark):
     assert "partial_count" in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
 
-    # heavy-hitter screen: the candidate set broadcasts into the corpus
-    # BEFORE the exact groupBy — broadcast joins only, no big-big join
+    # heavy-hitter screen: the sketch is ONE broadcast map row and every
+    # occurrence screens itself map-side before any shuffle — no per-key
+    # join of any kind, no big-big join
     plan = formatted(q["frequent_trigrams_screen"](spark, SF))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan

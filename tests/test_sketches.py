@@ -278,3 +278,42 @@ def test_grouped_histogram_matches_per_group_ungrouped(spark):
         }
         for p in probs:
             assert grouped[(g, p)] == solo[p]
+
+
+def test_hll_grouped_handles_null_group(spark):
+    # a NULL group is a group like any other: its registers must not be
+    # zeroed by a null-unsafe spine join
+    from table_extractor_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+
+    keys = _dup_keys(spark, 300).withColumn(
+        "grp",
+        F.when(F.crc32(F.col("key")) % 2 == 0, "a").otherwise(F.lit(None)),
+    )
+    grouped = {
+        r.grp: r.est_distinct
+        for r in hll_estimate_grouped(
+            hll_sketch_grouped(keys, "grp"), "grp"
+        ).collect()
+    }
+    assert set(grouped) == {"a", None}
+    solo_null = hll_estimate(
+        hll_sketch(keys.filter(F.col("grp").isNull()))
+    ).collect()[0]
+    assert grouped[None] == solo_null.est_distinct
+    assert grouped[None] > 0
+
+
+def test_countmin_estimate_returns_zero_for_never_seen_keys(spark):
+    # a never-touched cell is a ZERO counter: probing keys outside the
+    # stream must yield est_cnt = 0 rows, not dropped rows or a MIN over
+    # only the cells that happen to exist
+    stream = _keys(spark, ["a", "b", "c"])
+    sk = countmin_sketch(stream)
+    probes = _keys(spark, ["a", "ghost1", "ghost2"])
+    got = {r.key: r.est_cnt for r in countmin_estimate(sk, probes).collect()}
+    assert set(got) == {"a", "ghost1", "ghost2"}
+    assert got["a"] >= 1
+    assert got["ghost1"] == 0 and got["ghost2"] == 0

@@ -110,10 +110,24 @@ def test_compaction_is_lossless(spark, tmp_path):
         after.v_empty,
         after.est_distinct,
     )
-    # exactly one merged partition of m rows remains
+    # exactly one merged partition of m rows remains, under the -1
+    # sentinel no future stream batch can ever dynamic-overwrite
     raw = spark.read.parquet(reg)
-    assert [r.batch_id for r in raw.select("batch_id").distinct().collect()] == [0]
+    assert [r.batch_id for r in raw.select("batch_id").distinct().collect()] == [-1]
     assert raw.count() == 256
+
+    # and a LATER stream whose batch ids restart at 0 (fresh checkpoint)
+    # must extend the compacted history, not replace it
+    ckpt2 = str(tmp_path / "ckpt2")
+    inp2 = str(tmp_path / "landing2")
+    _docs(spark, 400, 450).write.mode("append").parquet(inp2)
+    q = start_stream_distinct_count(spark, inp2, reg, ckpt2)
+    q.awaitTermination(120)
+    est3 = standing_hll_estimate(spark, reg).collect()[0]
+    whole3 = hll_estimate(
+        hll_sketch(_word_keys(_docs(spark, 0, 450)))
+    ).collect()[0]
+    assert est3.est_distinct == whole3.est_distinct
 
 
 # --- Standing count-min (additive merge law) ---------------------------------
