@@ -74,14 +74,11 @@ def update_time_rollup(
         )
     else:
         merged = delta
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.select(*ROLLUP_COLS).write.mode("overwrite").partitionBy(
-            "bucket_start_us"
-        ).parquet(rollup_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    from ..sources.writers import dynamic_partition_overwrite
+
+    dynamic_partition_overwrite(
+        merged.select(*ROLLUP_COLS), rollup_dir, "bucket_start_us"
+    )
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.repartition import bucket_expr
 from ..plans.extract import METRIC_FIELDS
+from ..sources.writers import dynamic_partition_overwrite
 
 LINEAGE_COLS = (
     "run_id", "bucket", "n_docs", "n_spans", "wall_sec", "committed_at",
@@ -135,19 +136,10 @@ class CheckpointedRun:
             "doc_id", *METRIC_FIELDS, "bucket"
         )
 
-        with_dynamic_overwrite = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            out.write.mode("overwrite").partitionBy("bucket").parquet(self.out_dir)
-            metrics.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.metrics_dir
-            )
+            dynamic_partition_overwrite(out, self.out_dir, "bucket")
+            dynamic_partition_overwrite(metrics, self.metrics_dir, "bucket")
         finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", with_dynamic_overwrite
-            )
             parsed.unpersist()
 
         # lineage = the commit record, written only after data is durable.

@@ -25,6 +25,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.extract import INPUT_SCHEMA, extract_pipeline
+from ..sources.writers import dynamic_partition_overwrite
 
 
 def stream_docs(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -102,26 +103,20 @@ def start_stream_extract_with_metrics(
         parsed = parse_stage(spread).withColumn(
             "batch_id", F.lit(int(batch_id))
         ).persist()
-        spark_ = parsed.sparkSession
-        prev = spark_.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            parsed.filter(F.col("kind").isNotNull()).select(
-                *OUT_COLUMNS, "batch_id"
-            ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                output_dir
+            dynamic_partition_overwrite(
+                parsed.filter(F.col("kind").isNotNull()).select(
+                    *OUT_COLUMNS, "batch_id"
+                ),
+                output_dir,
             )
-            parsed.filter(F.col("kind").isNull()).select(
-                "doc_id", *METRIC_FIELDS, "batch_id"
-            ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                metrics_dir
+            dynamic_partition_overwrite(
+                parsed.filter(F.col("kind").isNull()).select(
+                    "doc_id", *METRIC_FIELDS, "batch_id"
+                ),
+                metrics_dir,
             )
         finally:
-            spark_.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
             parsed.unpersist()
 
     return (
@@ -335,26 +330,11 @@ def start_stream_near_dup_dedup(
             idx_text_rows = survivors.select("doc_id", "text").withColumn(
                 "batch_id", F.lit(int(batch_id))
             )
-            prev = spark_.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark_.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
             try:
-                out.write.mode("overwrite").partitionBy("batch_id").parquet(
-                    output_dir
-                )
-                idx_bucket_rows.write.mode("overwrite").partitionBy(
-                    "batch_id"
-                ).parquet(buckets_dir)
-                idx_text_rows.write.mode("overwrite").partitionBy(
-                    "batch_id"
-                ).parquet(texts_dir)
+                dynamic_partition_overwrite(out, output_dir)
+                dynamic_partition_overwrite(idx_bucket_rows, buckets_dir)
+                dynamic_partition_overwrite(idx_text_rows, texts_dir)
             finally:
-                spark_.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
                 cross.unpersist()
                 new_buckets.unpersist()
         finally:
@@ -404,18 +384,7 @@ def compact_near_dup_index(
         # repartition BY the partition column: each batch's rows collapse
         # into the task owning that hash -> exactly one file per partition
         compacted = df.repartition(F.col("batch_id")).localCheckpoint()
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            compacted.write.mode("overwrite").partitionBy(
-                "batch_id"
-            ).parquet(path)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+        dynamic_partition_overwrite(compacted, path)
 
 
 def start_stream_decontamination(
@@ -456,7 +425,6 @@ def start_stream_decontamination(
     )
 
     def decontaminate_batch(batch_df, batch_id: int) -> None:
-        spark_ = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").persist()
         try:
             report = contamination_report(batch, grams, k=k)
@@ -469,23 +437,8 @@ def start_stream_decontamination(
             clean = batch.join(
                 flagged.select("doc_id"), "doc_id", "left_anti"
             ).withColumn("batch_id", F.lit(int(batch_id)))
-            prev = spark_.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark_.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                clean.write.mode("overwrite").partitionBy("batch_id").parquet(
-                    output_dir
-                )
-                quarantined.write.mode("overwrite").partitionBy(
-                    "batch_id"
-                ).parquet(quarantine_dir)
-            finally:
-                spark_.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+            dynamic_partition_overwrite(clean, output_dir)
+            dynamic_partition_overwrite(quarantined, quarantine_dir)
         finally:
             batch.unpersist()
 

@@ -31,17 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.sketches import hll_estimate, hll_sketch
-
-
-def _write_batch_partition(df: DataFrame, path: str) -> None:
-    """Overwrite only this batch's own ``batch_id=`` partition.  The
-    dynamic mode is scoped to the single writer (the per-write option
-    takes precedence over the session conf), so a concurrent overwrite
-    write on the same session can never be silently flipped to dynamic
-    the way a session-conf toggle could flip it."""
-    df.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch_id").parquet(path)
+from ..sources.writers import dynamic_partition_overwrite
 
 
 def _word_keys(batch: DataFrame) -> DataFrame:
@@ -77,7 +67,7 @@ def start_stream_distinct_count(
         reg = hll_sketch(
             key_fn(batch_df), buckets=buckets, rho_cap=rho_cap
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        _write_batch_partition(reg, registers_dir)
+        dynamic_partition_overwrite(reg, registers_dir)
 
     return (
         docs.writeStream.foreachBatch(sketch_batch)
@@ -148,7 +138,7 @@ def start_stream_frequency_sketch(
         cells = countmin_sketch(
             key_fn(batch_df), depth=depth, width=width
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        _write_batch_partition(cells, cells_dir)
+        dynamic_partition_overwrite(cells, cells_dir)
 
     return (
         docs.writeStream.foreachBatch(sketch_batch)
