@@ -81,11 +81,17 @@ def minhash_signature(text_col, perms: int = DEFAULT_PERMS, k: int = 3) -> F.Col
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: hash-groupBy on content hash; keeper = min id.
 
-    Returns (content_hash, keeper, n_dupes).  One shuffle on the 60-bit hash
-    (uniform; no skew unless the corpus has a mega-duplicate-class, which AQE
-    skew-split absorbs)."""
+    Returns (content_hash, keeper, n_dupes).  One shuffle on the content
+    hash (uniform; no skew unless the corpus has a mega-duplicate-class,
+    which AQE skew-split absorbs).  The IDENTITY hash is the full 128-bit
+    md5 (hex string), not the 60-bit arithmetic hash: dedup DESTROYS the
+    non-keeper, so at 10^12 docs the 60-bit space's expected n^2/2^61
+    collisions would silently merge distinct documents — at 128 bits the
+    expectation is ~1e-15.  (The 60-bit hash stays where collisions are
+    part of the algorithm and verified downstream: minhash, LSH banding,
+    simhash, winnowing.)"""
     return (
-        df.select(hash60(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keeper"),
@@ -557,9 +563,10 @@ def paragraph_chunks(
             F.slice(ws, i * chunk_words + 1, chunk_words), " "
         ),
     )
+    # identity hash (chunks are DROPPED by it): full md5 — see exact_dedup
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
-    ).withColumn("h", hash60(F.col("chunk")))
+    ).withColumn("h", F.md5(F.col("chunk")))
 
 
 def paragraph_dedup(
@@ -647,7 +654,9 @@ def duplicate_passages(
         .select(
             id_col,
             (F.col("idx0") + 1).cast("long").alias("pos"),
-            hash60(F.col("shingle")).alias("h"),
+            # identity hash (flagged runs get CUT): full md5 — at ~1e15
+            # windows the 60-bit space would false-flag ~1e11 runs
+            F.md5(F.col("shingle")).alias("h"),
         )
     )
     dup_h = (

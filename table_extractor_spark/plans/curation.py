@@ -81,9 +81,9 @@ def curate(
     # window does it in the ONE shuffle the content-hash partition needs
     from pyspark.sql import Window
 
-    from ..operators.dedup import hash60
-
-    w_exact = Window.partitionBy(hash60(F.col("text"))).orderBy("doc_id")
+    # full-md5 identity, same collision rationale as operators/dedup.
+    # exact_dedup (the non-keeper is destroyed)
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     exact = (
         scrubbed.withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)

@@ -2270,7 +2270,7 @@ buckets AS (
 @register(
     "dedup_exact",
     oracle=f"""
-SELECT {DUCK_HASH.format('text')} AS content_hash,
+SELECT md5(text) AS content_hash,
        MIN(doc_id) AS keeper, COUNT(*) - 1 AS n_dupes
 FROM documents GROUP BY 1
 """,
@@ -2991,7 +2991,7 @@ WITH RECURSIVE g1 AS (
   FROM gated
 ), keep_exact AS (
   SELECT MIN(doc_id) AS doc_id FROM scrubbed
-  GROUP BY {DUCK_HASH.format('text')}
+  GROUP BY md5(text)
 ), exact AS (
   SELECT s.doc_id, s.text FROM scrubbed s
   JOIN keep_exact k ON s.doc_id = k.doc_id
@@ -3336,7 +3336,7 @@ words AS (
          string_agg(word, ' ' ORDER BY ord) AS chunk
   FROM words GROUP BY doc_id, CAST(floor((ord - 1) / 10.0) AS INT)
 ), hh AS (
-  SELECT doc_id, pos, chunk, {DUCK_HASH.format('chunk')} AS h FROM chunks
+  SELECT doc_id, pos, chunk, md5(chunk) AS h FROM chunks
 ), rk AS (
   SELECT doc_id, pos, chunk,
          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
@@ -3395,7 +3395,7 @@ sh AS (
   FROM toks
 ),
 shv AS (
-  SELECT doc_id, pos, {DUCK_HASH.format('shingle')} AS h
+  SELECT doc_id, pos, md5(shingle) AS h
   FROM sh WHERE pos <= n - {k - 1}
 ),
 dup AS (SELECT h FROM shv GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -3694,7 +3694,7 @@ words AS (
          string_agg(word, ' ' ORDER BY ord) AS chunk
   FROM words GROUP BY doc_id, CAST(floor((ord - 1) / 10.0) AS INT)
 )
-SELECT doc_id, pos, {DUCK_HASH.format('chunk')} AS h FROM chunks
+SELECT doc_id, pos, md5(chunk) AS h FROM chunks
 """,
 )
 def probe_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3720,7 +3720,7 @@ words AS (
          string_agg(word, ' ' ORDER BY ord) AS chunk
   FROM words GROUP BY doc_id, CAST(floor((ord - 1) / 10.0) AS INT)
 ), hh AS (
-  SELECT doc_id, pos, {DUCK_HASH.format('chunk')} AS h FROM chunks
+  SELECT doc_id, pos, md5(chunk) AS h FROM chunks
 ), rk AS (
   SELECT doc_id, pos, h,
          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
