@@ -346,6 +346,92 @@ def simhash_signatures(
     )
 
 
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    max_distance: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) of fingerprints within Hamming distance
+    ``max_distance``, without an all-pairs comparison.
+
+    The Manku/Jain/Sarma trick (WWW 2007, "Detecting near-duplicates for
+    web crawling"): split the ``bits``-bit fingerprint into ``blocks``
+    contiguous blocks.  Two fingerprints differing in at most ``d`` bits
+    can spread those differences over at most ``d`` blocks, so whenever
+    ``blocks > d`` the pigeonhole principle guarantees they agree EXACTLY
+    on at least one block — candidate generation is an equi-join on
+    (block_index, block_value), never a cross product, and recall is 1.0
+    by construction (pinned in tests/test_dedup.py).
+
+    Plan shape mirrors ``lsh_candidate_pairs``: one posexplode to
+    ``blocks`` rows per doc, one self-join co-partitioned on (block index,
+    block value), then the exact ``bit_count(xor)`` verify runs INSIDE the
+    join projection (both fingerprints ride the join — no second join back
+    to the signature table), and a final distinct collapses pairs that
+    agree on several blocks.  ``max_block_size`` is the same degenerate-
+    bucket guard as LSH banding (a block value shared by b docs emits b^2
+    candidates); oversized blocks are excluded, never silently — count
+    them via the returned frame's lineage or a companion aggregation.
+
+    Fingerprints come from ``simhash_signatures`` (word-feature SimHash,
+    Charikar STOC 2002); near-duplicate docs flip few votes, so their
+    fingerprints sit within a small Hamming ball.
+    """
+    if bits % blocks:
+        raise ValueError(f"blocks={blocks} must divide bits={bits}")
+    if blocks <= max_distance:
+        raise ValueError(
+            f"blocks={blocks} must exceed max_distance={max_distance} "
+            "(pigeonhole recall guarantee)"
+        )
+    width = bits // blocks
+    mask = (1 << width) - 1
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col(sig_col), j * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for j in range(blocks)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.posexplode(block_vals).alias("block_idx", "block_val"),
+    )
+    if max_block_size is not None:
+        w = Window.partitionBy("block_idx", "block_val")
+        exploded = (
+            exploded.withColumn("__bsize", F.count("*").over(w))
+            .filter(F.col("__bsize") <= max_block_size)
+            .drop("__bsize")
+        )
+    left = exploded.select(
+        "block_idx", "block_val",
+        F.col(id_col).alias("a"), F.col(sig_col).alias("__sa"),
+    )
+    right = exploded.select(
+        "block_idx", "block_val",
+        F.col(id_col).alias("b"), F.col(sig_col).alias("__sb"),
+    )
+    return (
+        left.join(right, on=["block_idx", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

@@ -79,6 +79,7 @@ _R5_FRONT = (
     "doc_length_quantile_sketch",
     "doc_length_quantiles_by_lang",
     "frequent_trigrams_screen",
+    "simhash_hamming_pairs",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -2452,6 +2453,42 @@ SELECT doc_id, {_DUCK_SIMHASH_TERMS} AS simhash FROM h
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return D.simhash_signatures(docs)
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE doc_id < 200),
+h AS (SELECT doc_id, list_transform(
+        w, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs FROM w),
+s AS (SELECT doc_id, {_DUCK_SIMHASH_TERMS} AS simhash FROM h),
+blk AS (
+  SELECT doc_id, simhash, t.j AS bj,
+         (simhash >> (t.j * 8)) & 255 AS bv
+  FROM s, generate_series(0, 3) t(j)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM blk l JOIN blk r
+    ON l.bj = r.bj AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup pairs over 32-bit SimHash fingerprints
+    (operators/dedup ``simhash_hamming_pairs``; Manku et al. WWW 2007):
+    4 contiguous 8-bit blocks index each fingerprint, distance<=3 pairs
+    must share a block by pigeonhole, so candidate generation is one
+    equi-join on (block, value) with recall 1.0 — the sketch-indexed
+    complement to the shingle-set LSH family, one 64-bit word per doc
+    instead of a signature array.  The oracle replays fingerprints,
+    block arithmetic, and the bit_count(xor) verify."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.simhash_hamming_pairs(D.simhash_signatures(docs))
 
 
 @register(

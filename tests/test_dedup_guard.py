@@ -349,3 +349,67 @@ def test_winnowing_rejects_docs_beyond_position_budget(spark):
         winnowing_fingerprints(docs, pos_budget=16).count()
     # the same doc fingerprints fine one budget notch up (19 shingles < 32)
     assert winnowing_fingerprints(docs, pos_budget=32).count() > 0
+
+
+def test_simhash_hamming_pairs_recall_matches_brute_force(spark):
+    """Pigeonhole recall pin: block-join candidates find EVERY pair within
+    the Hamming ball — cross-check the operator against an all-pairs
+    bit_count(xor) computed straight off the signature table."""
+    from table_extractor_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared words body tail token{i % 7} token{i % 3}")
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    sigs = simhash_signatures(docs).persist()
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_hamming_pairs(sigs, max_distance=3).collect()
+    }
+    l = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    r = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    brute = {
+        (row.a, row.b, row.hamming)
+        for row in l.join(r, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    sigs.unpersist()
+    assert brute, "fixture must produce at least one close pair"
+    assert got == brute
+
+
+def test_simhash_hamming_pairs_validates_block_layout(spark):
+    import pytest
+    from table_extractor_spark.operators.dedup import simhash_hamming_pairs
+
+    sigs = spark.createDataFrame([(1, 5), (2, 7)], ["doc_id", "simhash"])
+    with pytest.raises(ValueError, match="must divide"):
+        simhash_hamming_pairs(sigs, blocks=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(sigs, max_distance=4, blocks=4)
+
+
+def test_simhash_hamming_block_cap_bounds_and_is_observable(spark):
+    """The degenerate-block guard mirrors the LSH bucket cap: identical
+    fingerprints all land in the same 4 blocks, so a cap excludes them
+    from pair generation while distinct near pairs survive."""
+    from table_extractor_spark.operators.dedup import simhash_hamming_pairs
+
+    rows = [(i, 0x12345678) for i in range(40)]          # one degenerate ball
+    rows += [(100, 0x0F0F0F0F), (101, 0x0F0F0F0E)]       # hamming 1 pair
+    sigs = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    uncapped = simhash_hamming_pairs(sigs, max_distance=3)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    capped = simhash_hamming_pairs(sigs, max_distance=3, max_block_size=10)
+    pairs = {(r.a, r.b) for r in capped.collect()}
+    assert pairs == {(100, 101)}
