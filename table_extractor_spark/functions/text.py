@@ -261,6 +261,79 @@ def with_rare_word_score(docs, ranks, text_col: str = "text", id_col: str = "doc
     )
 
 
+def bm25_topk(
+    docs,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+):
+    """(doc_id, n_terms, score): the top-k documents for a bag-of-words
+    query under QUANTIZED BM25 (Robertson & Walker SIGIR 1994 weighting,
+    k1 = 1.2, b = 0.75) — the retrieval layer a curation pipeline uses to
+    pull topical slices or audit eval-set leakage by query.
+
+    Integer-exact scoring (the transcendental-free engine-reproducibility
+    policy of ``tfidf_top_terms`` / ``with_rare_word_score``): with
+    avgdl = T/N (T total tokens, N docs), k1 = 6/5 and b = 3/4, the BM25
+    term weight tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) reduces to the
+    rational form  22*T*tf / (10*T*tf + 3*T + 9*dl*N), so
+
+        idf_ppm    = 1_000_000 * N div df          (ppm idf, monotone in 1/df)
+        ratio_ppm  = 22*T*tf*1_000_000 div (10*T*tf + 3*T + 9*dl*N)
+        term_score = idf_ppm * ratio_ppm div 1_000_000
+
+    stays in exact int64 end-to-end — bit-identical ranking on any engine.
+    int64 budget: ratio_ppm's numerator 2.2e7*T*tf caps T*tf below ~4e11
+    (e.g. a 4e9-token corpus at tf<=100); beyond that, downshift T and
+    dl*N by a common power of two first — the ratio is scale-invariant in
+    (T, dl*N) up to the quantization step, so ranking is preserved.
+
+    100-TB shape: tf partial-aggregates map-side; the query-term join is a
+    broadcast of a few literals, so df / dl / scoring touch only matching
+    postings; N and T are a 1-row broadcast; the final top-k is
+    TakeOrderedAndProject (per-partition heads + driver merge), never a
+    global sort.  Ties break on doc_id, so the returned set is total.
+    """
+    spark = docs.sparkSession
+    wds = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = wds.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    qt = spark.createDataFrame([(t,) for t in query_terms], ["word"])
+    matched = tf.join(F.broadcast(qt), "word")
+    dfq = matched.groupBy("word").agg(F.count("*").alias("df"))
+    term = (
+        matched.join(F.broadcast(dfq), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(((1000000 * n_docs) div df)"
+                " * ((22 * total_tokens * tf * 1000000)"
+                "    div (10 * total_tokens * tf + 3 * total_tokens"
+                "         + 9 * dl * n_docs))) div 1000000"
+            ),
+        )
+    )
+    return (
+        term.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("term_score").cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     docs, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
 ):

@@ -80,6 +80,7 @@ _R5_FRONT = (
     "doc_length_quantiles_by_lang",
     "frequent_trigrams_screen",
     "simhash_hamming_pairs",
+    "bm25_topk",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -4167,6 +4168,52 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-keyed shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs)
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+WITH wds AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+tok AS (SELECT doc_id, word FROM wds WHERE word <> ''),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens
+  FROM dl
+),
+qt AS (SELECT unnest(['spark', 'merge', 'vector', 'customer']) AS word),
+m AS (SELECT tf.doc_id, tf.word, tf.tf FROM tf JOIN qt USING (word)),
+dfq AS (SELECT word, COUNT(*) AS df FROM m GROUP BY 1),
+term AS (
+  SELECT m.doc_id,
+         (((1000000 * s.n_docs) // dfq.df)
+          * ((22 * s.total_tokens * m.tf * 1000000)
+             // (10 * s.total_tokens * m.tf + 3 * s.total_tokens
+                 + 9 * dl.dl * s.n_docs))) // 1000000 AS term_score
+  FROM m JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(term_score) AS BIGINT) AS score
+  FROM term GROUP BY 1
+)
+SELECT doc_id, n_terms, score FROM agg ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a 4-term bag-of-words query under quantized
+    BM25 (functions/text ``bm25_topk``; Robertson & Walker SIGIR 1994,
+    k1=1.2 b=0.75 reduced to the rational integer form — no ln(), no
+    float division, bit-identical ranking on any engine).  The retrieval
+    layer for topical slicing / leak audits over the curated corpus: the
+    query-term join broadcasts a handful of literals so scoring touches
+    only matching postings, corpus stats are a 1-row broadcast, and the
+    top-k is TakeOrderedAndProject — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, ["spark", "merge", "vector", "customer"])
 
 
 @register(

@@ -220,3 +220,84 @@ def test_tfidf_ties_break_on_word(spark):
         by_doc.setdefault(r.doc_id, []).append((r.rk, r.word))
     for doc in ("d1", "d2"):
         assert sorted(by_doc[doc]) == [(1, "apple"), (2, "zebra")]
+
+
+def _bm25_reference(corpus, query_terms, k=10):
+    """Pure-Python replica of the integer BM25 spec (k1=6/5, b=3/4 reduced
+    to 22*T*tf // (10*T*tf + 3*T + 9*dl*N) ppm arithmetic)."""
+    from collections import Counter
+
+    tfs = {d: Counter(w for w in t.lower().split() if w) for d, t in corpus}
+    dls = {d: sum(c.values()) for d, c in tfs.items() if c}
+    N, T = len(dls), sum(dls.values())
+    dfq = {
+        q: sum(1 for c in tfs.values() if q in c) for q in query_terms
+    }
+    scores = {}
+    for d, c in tfs.items():
+        hit = [q for q in query_terms if q in c]
+        if not hit:
+            continue
+        s = 0
+        for q in hit:
+            idf_ppm = (1_000_000 * N) // dfq[q]
+            ratio_ppm = (22 * T * c[q] * 1_000_000) // (
+                10 * T * c[q] + 3 * T + 9 * dls[d] * N
+            )
+            s += (idf_ppm * ratio_ppm) // 1_000_000
+        scores[d] = (len(hit), s)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return [(d, n, s) for d, (n, s) in ranked]
+
+
+def test_bm25_topk_matches_integer_reference(spark):
+    from table_extractor_spark.functions.text import bm25_topk
+
+    corpus = [
+        ("d1", "apple banana apple"),
+        ("d2", "apple cherry"),
+        ("d3", "banana banana banana cherry"),
+        ("d4", "durian fig grape"),           # no query term: must not rank
+        ("d5", "apple apple apple apple"),    # high tf, saturation visible
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = [
+        (r.doc_id, r.n_terms, r.score)
+        for r in bm25_topk(docs, ["apple", "cherry"]).collect()
+    ]
+    want = _bm25_reference(corpus, ["apple", "cherry"])
+    assert got == want
+    assert all(d != "d4" for d, _, _ in got)
+    # multi-term match must outrank the equal-idf single-term docs
+    assert got[0][0] == "d2" and got[0][1] == 2
+
+
+def test_bm25_topk_tf_saturation_and_length_normalization(spark):
+    from table_extractor_spark.functions.text import bm25_topk
+
+    # same tf for 'apple' but a much longer doc -> lower score (b-norm);
+    # quadrupled tf in d5 must score less than 4x d1 (k1 saturation)
+    corpus = [
+        ("d1", "apple filler"),
+        ("d2", "apple " + " ".join(["filler"] * 30)),
+        ("d5", "apple apple apple apple filler"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    s = {r.doc_id: r.score for r in bm25_topk(docs, ["apple"]).collect()}
+    assert s["d1"] > s["d2"]
+    assert s["d1"] < s["d5"] < 4 * s["d1"]
+
+
+def test_bm25_topk_plan_is_takeordered_with_broadcast_terms(spark):
+    from table_extractor_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(str(i), f"apple w{i % 5}") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = (
+        bm25_topk(docs, ["apple"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # global top-k is per-partition heads + driver merge, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
