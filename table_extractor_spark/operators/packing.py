@@ -95,3 +95,99 @@ def assemble_shards(
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+def unimax_allocation(
+    lang_counts: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    group_col: str = "lang",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Epoch-capped token-budget allocation across languages/domains —
+    the integer-exact variant of UniMax (Chung et al., NeurIPS 2023):
+    spread ``budget`` tokens as uniformly as possible over groups, except
+    no group may be sampled beyond ``max_epochs`` passes over its
+    ``count_col`` tokens (the repeat cap that stops mega-upsampling of
+    tiny languages, the failure mode of plain temperature mixing).
+
+    Greedy semantics (Algorithm 1 of the paper): visit groups in
+    ascending (count, name) order; a group whose cap max_epochs*count is
+    below its fair share of the remaining budget is allocated its cap;
+    the rest split what remains.  Because counts ascend, the capped set
+    is a PREFIX (the fair-share slack B - cumcap_{i-1} -
+    cap_i*(L-i+1) is non-increasing in i), so one window pass decides
+    every group independently — no driver-side loop.  Integer spec, so
+    any engine reproduces it bit-for-bit: uncapped groups get
+    q = R div n_uncapped each, and the first R mod n_uncapped of them
+    (in the same sort order) get one extra token.
+
+    Input is the GROUP-LEVEL count table (one row per language/domain —
+    bounded cardinality), so the unpartitioned ordering window is a few
+    hundred rows at worst; the corpus-sized aggregation that produces it
+    stays partial-agg'd upstream.
+
+    Returns (group, count, cap flag, allocated tokens, epochs_ppm) where
+    epochs_ppm = 1e6 * alloc div count audits the realized repeat rate.
+    """
+    if budget < 0 or max_epochs < 1:
+        raise ValueError("budget must be >= 0 and max_epochs >= 1")
+    w = Window.orderBy(count_col, group_col)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    sized = (
+        lang_counts.select(group_col, count_col)
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__cap", F.col(count_col) * max_epochs)
+        .withColumn(
+            "__cumcap_prev", F.coalesce(F.sum("__cap").over(prev), F.lit(0))
+        )
+        .withColumn("__n", F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ))
+        .withColumn(
+            "capped",
+            (F.lit(budget) - F.col("__cumcap_prev"))
+            > F.col("__cap") * (F.col("__n") - F.col("__pos") + 1),
+        )
+    )
+    # the capped set is a prefix: k* groups take their caps, the rest
+    # split R = budget - sum(prefix caps) as q each plus r singles
+    totals = sized.agg(
+        F.count("*").alias("__L"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("__k"),
+        F.sum(F.when(F.col("capped"), F.col("__cap")).otherwise(0)).alias(
+            "__capsum"
+        ),
+    )
+    return (
+        sized.crossJoin(F.broadcast(totals))
+        .withColumn("__R", F.lit(budget) - F.col("__capsum"))
+        .withColumn("__nrem", F.col("__L") - F.col("__k"))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("__cap")).otherwise(
+                F.expr("__R div __nrem")
+                + F.when(
+                    F.col("__pos") - F.col("__k")
+                    <= F.expr("__R % __nrem"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "epochs_ppm",
+            # a zero-count group allocates 0 by its cap; NULL ppm keeps the
+            # audit column honest instead of ANSI-erroring on the div
+            F.when(
+                F.col(count_col) > 0,
+                F.expr(f"(1000000 * alloc_tokens) div {count_col}"),
+            ).cast("long"),
+        )
+        .select(
+            group_col,
+            F.col(count_col).cast("long").alias(count_col),
+            "capped",
+            "alloc_tokens",
+            "epochs_ppm",
+        )
+    )

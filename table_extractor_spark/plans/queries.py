@@ -81,6 +81,7 @@ _R5_FRONT = (
     "frequent_trigrams_screen",
     "simhash_hamming_pairs",
     "bm25_topk",
+    "unimax_allocation",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -3966,6 +3967,83 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h % 1_000_000 < F.col("keep_ppm"))
         .select("doc_id", "lang", "keep_ppm")
     )
+
+
+@register(
+    "unimax_allocation",
+    oracle="""
+WITH tok AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(3 * SUM(n_tokens) // 2 AS BIGINT) AS budget FROM tok),
+pos AS (
+  SELECT lang, n_tokens, 2 * n_tokens AS cap,
+         row_number() OVER (ORDER BY n_tokens, lang) AS pos,
+         COALESCE(CAST(SUM(2 * n_tokens) OVER (
+             ORDER BY n_tokens, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cumprev,
+         COUNT(*) OVER () AS L
+  FROM tok
+),
+flg AS (
+  SELECT p.*, t.budget,
+         (t.budget - cumprev) > cap * (L - pos + 1) AS capped
+  FROM pos p CROSS JOIN tot t
+),
+tots AS (
+  SELECT CAST(COUNT(*) FILTER (capped) AS BIGINT) AS k,
+         COALESCE(CAST(SUM(cap) FILTER (capped) AS BIGINT), 0) AS capsum
+  FROM flg
+),
+alloc AS (
+  SELECT f.lang, f.n_tokens, f.capped,
+         CAST(CASE WHEN f.capped THEN f.cap
+              ELSE (f.budget - t.capsum) // (f.L - t.k)
+                   + CASE WHEN f.pos - t.k
+                               <= (f.budget - t.capsum) % (f.L - t.k)
+                          THEN 1 ELSE 0 END
+              END AS BIGINT) AS alloc_tokens
+  FROM flg f CROSS JOIN tots t
+)
+SELECT lang, n_tokens, capped, alloc_tokens,
+       CAST((1000000 * alloc_tokens) // n_tokens AS BIGINT) AS epochs_ppm
+FROM alloc
+""",
+)
+def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped per-language token-budget allocation (operators/packing
+    ``unimax_allocation``; integer-exact UniMax, Chung et al. NeurIPS
+    2023): budget = 1.5x the corpus token count, cap = 2 epochs — small
+    languages are upsampled toward uniform but never beyond two passes
+    (the repeat cap plain temperature mixing lacks), so at this corpus's
+    skew both branches run: the small languages hit their caps and the
+    dominant language absorbs the remainder.  The corpus-sized work
+    is one partial-agg'd per-lang token count; the allocation itself runs
+    on the bounded group table (one ordering window + a 1-row broadcast
+    of the capped-prefix totals).  The budget scalar is a single
+    collect()ed row — the sanctioned bounded-driver-traffic shape."""
+    from ..operators.packing import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda w: w != "",
+                )
+            ).alias("__n"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("__n").cast("long").alias("n_tokens"))
+    )
+    total = int(tok.agg(F.sum("n_tokens")).collect()[0][0])
+    return unimax_allocation(tok, 3 * total // 2, max_epochs=2)
 
 
 @register(

@@ -301,3 +301,77 @@ def test_bm25_topk_plan_is_takeordered_with_broadcast_terms(spark):
     # global top-k is per-partition heads + driver merge, never a full sort
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def _unimax_reference(counts, budget, epochs):
+    """True-greedy UniMax (Chung et al. 2023 Alg. 1) with the integer
+    remainder spec: uncapped groups consume their fair share immediately,
+    so the capped set is a prefix of the ascending-count order."""
+    from fractions import Fraction
+
+    s = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    L, rem, i, alloc = len(s), Fraction(budget), 0, {}
+    for g, c in s:
+        if Fraction(c * epochs) < rem / (L - i):
+            alloc[g] = c * epochs
+            rem -= c * epochs
+            i += 1
+        else:
+            break
+    unc = [g for g, _ in s[i:]]
+    if unc:
+        q, r = divmod(budget - sum(alloc.values()), len(unc))
+        for j, g in enumerate(unc):
+            alloc[g] = q + (1 if j < r else 0)
+    return alloc
+
+
+def test_unimax_allocation_matches_greedy_reference(spark):
+    from table_extractor_spark.operators.packing import unimax_allocation
+
+    cases = [
+        ({"en": 1000, "de": 100, "zh": 50, "fr": 7}, 1200, 2),
+        ({"en": 1000, "de": 100}, 5000, 2),   # every group capped: underspend
+        ({"a": 3, "b": 3, "c": 3}, 7, 1),     # remainder goes to sort-firsts
+        ({"x": 10}, 100, 3),
+        ({"en": 500, "de": 500, "fr": 123}, 1000, 2),
+        ({"a": 1, "b": 10, "c": 100, "d": 1000}, 600, 3),  # mixed prefix
+    ]
+    for counts, budget, epochs in cases:
+        df = spark.createDataFrame(
+            list(counts.items()), ["lang", "n_tokens"]
+        )
+        out = unimax_allocation(df, budget, epochs).collect()
+        got = {r.lang: r.alloc_tokens for r in out}
+        want = _unimax_reference(counts, budget, epochs)
+        assert got == want, (counts, budget, epochs, got, want)
+        # cap invariant: nobody beyond max_epochs passes
+        for r in out:
+            assert r.alloc_tokens <= epochs * counts[r.lang]
+            assert r.epochs_ppm == (1_000_000 * r.alloc_tokens) // counts[r.lang]
+        # full spend unless everyone is capped
+        if not all(r.capped for r in out):
+            assert sum(got.values()) == budget
+
+
+def test_unimax_allocation_validates_inputs(spark):
+    import pytest
+    from table_extractor_spark.operators.packing import unimax_allocation
+
+    df = spark.createDataFrame([("en", 10)], ["lang", "n_tokens"])
+    with pytest.raises(ValueError):
+        unimax_allocation(df, -1, 2)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, 10, 0)
+
+
+def test_unimax_allocation_zero_count_group_is_null_ppm(spark):
+    from table_extractor_spark.operators.packing import unimax_allocation
+
+    zc = spark.createDataFrame([("a", 0), ("b", 10)], ["lang", "n_tokens"])
+    out = {r.lang: (r.alloc_tokens, r.epochs_ppm)
+           for r in unimax_allocation(zc, 15, 2).collect()}
+    # a zero-count group allocates its (zero) cap; ppm audit is NULL, not
+    # an ANSI divide-by-zero
+    assert out["a"] == (0, None)
+    assert out["b"] == (15, 1_500_000)
