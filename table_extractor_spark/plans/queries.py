@@ -82,6 +82,7 @@ _R5_FRONT = (
     "simhash_hamming_pairs",
     "bm25_topk",
     "unimax_allocation",
+    "hll_intersection_estimate",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -4499,6 +4500,117 @@ def hll_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("word").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "lang")
+
+
+_HLL_SLICE_EST = """
+  SELECT CAST(CASE WHEN SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) = 256
+              THEN 0
+              ELSE ({alpha}
+                    * (CAST({m2c} AS BIGINT)
+                       // CAST(SUM(1::BIGINT << (40 - rho)) AS BIGINT)))
+                   // 1000000
+              END AS BIGINT)
+  FROM reg_{slice}
+"""
+
+
+@register(
+    "hll_intersection_estimate",
+    oracle=f"""
+WITH wds AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+occ AS (SELECT lang, word FROM wds WHERE word <> ''),
+hv AS (
+  SELECT lang,
+         (('0x' || substr(md5('b|' || word), 1, 15))::BIGINT % 256) AS bucket,
+         ('0x' || substr(md5('r|' || word), 1, 15))::BIGINT AS hr
+  FROM occ WHERE lang IN ('en', 'de')
+),
+rh AS (SELECT lang, bucket, LEAST(40, 61 - length(bin(hr))) AS rho FROM hv),
+reg_a AS (
+  SELECT gs.b AS bucket, CAST(COALESCE(MAX(rh.rho), 0) AS BIGINT) AS rho
+  FROM generate_series(0, 255) gs(b)
+  LEFT JOIN rh ON rh.bucket = gs.b AND rh.lang = 'en' GROUP BY gs.b
+),
+reg_b AS (
+  SELECT gs.b AS bucket, CAST(COALESCE(MAX(rh.rho), 0) AS BIGINT) AS rho
+  FROM generate_series(0, 255) gs(b)
+  LEFT JOIN rh ON rh.bucket = gs.b AND rh.lang = 'de' GROUP BY gs.b
+),
+reg_u AS (
+  SELECT gs.b AS bucket, CAST(COALESCE(MAX(rh.rho), 0) AS BIGINT) AS rho
+  FROM generate_series(0, 255) gs(b)
+  LEFT JOIN rh ON rh.bucket = gs.b GROUP BY gs.b
+),
+est AS (
+  SELECT ({_HLL_SLICE_EST.format(alpha=_HLL_ALPHA_PPM_256,
+                                 m2c=_HLL_M2C_256, slice='a')}) AS est_a,
+         ({_HLL_SLICE_EST.format(alpha=_HLL_ALPHA_PPM_256,
+                                 m2c=_HLL_M2C_256, slice='b')}) AS est_b,
+         ({_HLL_SLICE_EST.format(alpha=_HLL_ALPHA_PPM_256,
+                                 m2c=_HLL_M2C_256, slice='u')}) AS est_union
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT word FROM occ WHERE lang = 'en'
+    INTERSECT
+    SELECT word FROM occ WHERE lang = 'de'
+  )
+)
+SELECT est_a, est_b, est_union,
+       est_a + est_b - est_union AS est_intersection,
+       ex.exact_intersection
+FROM est CROSS JOIN ex
+""",
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-vocabulary estimate between two language slices via HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) - est(A∪B), where the
+    union sketch is the bucket-wise MAX merge (``hll_merge``) — the
+    cross-shard set-overlap question (vocabulary overlap, shared-user
+    audiences, key-space collision between corpus drops) answered from
+    three m-row register tables instead of a distinct-join over the full
+    key space.  The estimate can undershoot or even go negative at small
+    overlaps (inclusion-exclusion compounds the per-sketch sigma; the
+    signed value is reported honestly, not clamped) — the exact
+    intersection rides along for audit.  Same integer-exact estimator
+    as ``hll_distinct_estimate``, so the oracle replays all three
+    estimates bit-for-bit.  Note the estimator is the RAW HLL form (no
+    ln-based linear-counting small-range correction — the integer-exact
+    policy), so absolute values at this fixture's tiny vocabulary sit in
+    the raw estimator's known small-n bias regime; the driver row pins
+    the inclusion-exclusion ALGEBRA (here A=B=A∪B, so the intersection
+    estimate equals the slice estimate exactly), and the test-suite pin
+    covers the >m/2-scale error bound where raw HLL is accurate."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter((F.col("word") != "") & F.col("lang").isin("en", "de"))
+    a = wds.filter(F.col("lang") == "en").select("word")
+    b = wds.filter(F.col("lang") == "de").select("word")
+    # the two register tables feed their own estimate AND the union merge
+    sa = SK.hll_sketch(a, key_col="word").persist()
+    sb = SK.hll_sketch(b, key_col="word").persist()
+    est_a = SK.hll_estimate(sa).select(F.col("est_distinct").alias("est_a"))
+    est_b = SK.hll_estimate(sb).select(F.col("est_distinct").alias("est_b"))
+    est_u = SK.hll_estimate(SK.hll_merge(sa, sb)).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    exact = a.intersect(b).agg(
+        F.count("*").cast("long").alias("exact_intersection")
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .withColumn(
+            "est_intersection",
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        )
+        .crossJoin(exact)
+    )
 
 
 @register(

@@ -317,3 +317,24 @@ def test_countmin_estimate_returns_zero_for_never_seen_keys(spark):
     assert set(got) == {"a", "ghost1", "ghost2"}
     assert got["a"] >= 1
     assert got["ghost1"] == 0 and got["ghost2"] == 0
+
+
+def test_hll_inclusion_exclusion_intersection(spark):
+    """|A∩B| ≈ est(A)+est(B)-est(merge): identical slices recover the
+    slice estimate exactly; disjoint slices give a union at least as
+    large as either side and a small (possibly negative) intersection."""
+    a = _keys(spark, [f"w{i}" for i in range(300)])
+    est = lambda sk: hll_estimate(sk).collect()[0].est_distinct  # noqa: E731
+
+    sa = hll_sketch(a, key_col="key")
+    # identical slices: merge == each sketch, intersection == estimate
+    assert est(hll_merge(sa, sa)) == est(sa)
+    assert est(sa) + est(sa) - est(hll_merge(sa, sa)) == est(sa)
+
+    b = _keys(spark, [f"x{i}" for i in range(300)])  # disjoint key space
+    sb = hll_sketch(b, key_col="key")
+    ea, eb, eu = est(sa), est(sb), est(hll_merge(sa, sb))
+    assert eu >= max(ea, eb)
+    # disjoint truth is 0; the signed estimate must sit inside a few
+    # compounded sigmas (3 * 1.04/sqrt(256) per sketch, ~20% of 600)
+    assert abs(ea + eb - eu) <= 0.2 * (ea + eb)
