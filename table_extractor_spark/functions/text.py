@@ -300,7 +300,10 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
     ).filter(F.col("word") != "")
-    tf = wds.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    # the posting table feeds dl, corpus stats, and the query-term match:
+    # persist so the corpus is scanned ONCE (at warehouse scale this is
+    # the inverted index you WRITE once and serve many queries from)
+    tf = wds.groupBy(id_col, "word").agg(F.count("*").alias("tf")).persist()
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),

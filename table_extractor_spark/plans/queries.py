@@ -83,6 +83,7 @@ _R5_FRONT = (
     "bm25_topk",
     "unimax_allocation",
     "hll_intersection_estimate",
+    "bpe_fertility_by_lang",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -3318,6 +3319,66 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_fertility_by_lang",
+    oracle=_duck_bpe_with(BPE_MERGES)
+    + f""",
+wtok AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+  FROM s{BPE_MERGES} GROUP BY word
+),
+dws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+dwords AS (SELECT doc_id, lang, unnest(w) AS word FROM dws),
+per AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(t.n_sym) AS BIGINT) AS n_bpe_tokens
+  FROM dwords d JOIN wtok t ON d.word = t.word
+  WHERE d.word <> ''
+  GROUP BY d.lang
+)
+SELECT lang, n_words, n_bpe_tokens,
+       CAST((1000000 * n_bpe_tokens) // n_words AS BIGINT) AS fertility_ppm
+FROM per
+""",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE subword tokens emitted per
+    whitespace word, in exact ppm — the multilingual-equity audit run on
+    every candidate vocabulary (a language tokenizing at 2x the subwords
+    of another effectively pays double sequence length for the same
+    text; cf. the UniMax/NLLB tokenizer-fairness discussions).  Composes
+    the distributed trainer and encoder (operators/bpe): train once,
+    encode every doc (the per-doc size is the same quantity the
+    driver-green ``bpe_encode`` row pins), then one partial-agg'd
+    per-lang sum; the oracle replays training to the final symbol table
+    and re-derives every count."""
+    from ..operators import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = BP.bpe_train(docs, n_merges=BPE_MERGES)
+    enc = BP.bpe_encode(docs, rules)
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    )
+    return (
+        enc.select(
+            "lang",
+            n_words.alias("__nw"),
+            F.size("bpe_tokens").alias("__nb"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("__nw").cast("long").alias("n_words"),
+            F.sum("__nb").cast("long").alias("n_bpe_tokens"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "fertility_ppm",
+            F.expr("(1000000 * n_bpe_tokens) div n_words").cast("long"),
+        )
+    )
+
+
+@register(
     "bpe_roundtrip",
     oracle="""
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -4042,6 +4103,7 @@ def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang")
         .agg(F.sum("__n").cast("long").alias("n_tokens"))
+        .persist()  # the budget collect and the allocation share one scan
     )
     total = int(tok.agg(F.sum("n_tokens")).collect()[0][0])
     return unimax_allocation(tok, 3 * total // 2, max_epochs=2)

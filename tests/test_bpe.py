@@ -149,3 +149,43 @@ def test_bpe_decode_inverts_encode(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_bpe_fertility_matches_pure_python(spark):
+    """Per-lang fertility ppm recomputed from the textbook reference's
+    symbol tables: encode each word type, weight by per-lang occurrence."""
+    from table_extractor_spark.plans import queries as Q
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wc = _word_counts(spark)
+    rules = _py_bpe(wc, 6)
+
+    def encode(word):
+        syms = list(word) + [B.END_OF_WORD]
+        for _, a, b, _c in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want = {}
+    for r in docs.select("lang", "text").collect():
+        ws = [w for w in r.text.split(" ") if w]
+        nw, nb = want.get(r.lang, (0, 0))
+        want[r.lang] = (nw + len(ws), nb + sum(encode(w) for w in ws))
+
+    got = {
+        r.lang: (r.n_words, r.n_bpe_tokens, r.fertility_ppm)
+        for r in Q.queries()["bpe_fertility_by_lang"](spark, SF).collect()
+    }
+    assert set(got) == {k for k, v in want.items() if v[0] > 0}
+    for lang, (nw, nb) in want.items():
+        if nw == 0:
+            continue
+        assert got[lang] == (nw, nb, (1_000_000 * nb) // nw), lang
