@@ -84,6 +84,7 @@ _R5_FRONT = (
     "unimax_allocation",
     "hll_intersection_estimate",
     "bpe_fertility_by_lang",
+    "table_linearize",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -223,6 +224,46 @@ def extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(spark, sf_dir)
     out, _ = extract_pipeline(docs, num_partitions=32, salt=1)
     return out.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+@register(
+    "table_linearize",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         (string_split(text, ' '))[1:6] AS words
+  FROM documents
+), g AS (SELECT i FROM generate_series(1, 6) t(i)),
+rws AS (
+  SELECT d.doc_id, g.i,
+         'Idx: w' || CAST(g.i - 1 AS VARCHAR)
+           || ' | Word: ' || d.words[g.i] AS row_text
+  FROM d, g
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       md5(string_agg(row_text, chr(10) ORDER BY i)) AS linearized_md5
+FROM rws GROUP BY doc_id
+""",
+)
+def table_linearize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction output serialized into pretraining text
+    (plans/triples.linearize_tables): every mined table row becomes
+    "Header: value | Header: value" and rows join in table order — the
+    table-to-text step that turns this engine's span output into corpus
+    documents (the WDC/TaBERT-style linearization).  The header↔cell
+    pairing is the Mapper's positional zip (J5) at the DataFrame layer;
+    the oracle recomputes every linearized document from the synthetic
+    corpus definition, md5-compacted (the probe-battery rule for
+    text-heavy driver outputs)."""
+    from .extract import extract_pipeline
+    from .triples import linearize_tables
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    out, _ = extract_pipeline(docs, num_partitions=32)
+    lin = linearize_tables(out)
+    return lin.select(
+        "doc_id", "n_rows", F.md5("linearized").alias("linearized_md5")
+    )
 
 
 @register(

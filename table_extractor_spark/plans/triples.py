@@ -314,3 +314,81 @@ def write_ttl(
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def linearize_tables(
+    spans: DataFrame,
+    kv_sep: str = ": ",
+    col_sep: str = " | ",
+    row_sep: str = "\n",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TRAINING TEXT from extracted table spans — the
+    "table-to-text" serialization an LLM-pretraining pipeline applies to
+    mined tables (each data row becomes "Header1: v1 | Header2: v2", rows
+    joined in table order): the step that turns this engine's extraction
+    output into corpus documents.
+
+    The header↔cell pairing is the positional zip of the reference's
+    Mapper (J5 — cell k of a row pairs with header k; reference
+    Mapper.py row/cell iteration), done at the DataFrame layer: headers
+    collect per doc into one broadcast-sized array column, cells index
+    themselves with a per-doc ROW_NUMBER, and (row, col) = divmod(idx,
+    n_headers).  Spans must be ONE table per document (the synthetic
+    corpus's shape; multi-table docs need a table-id column to segment
+    on — the kernel keeps tables contiguous in ``order`` but the flat
+    span schema carries no table boundary).
+
+    Returns (doc_id, n_rows, linearized) with the full text — md5-compact
+    it at the query surface if the consumer only needs an identity.
+
+    Shape: one per-doc window over cells + two co-partitioned groupBys on
+    the doc id (Catalyst reuses the hash partitioning), headers joined
+    broadcast-style per doc; no Python, no global sort.
+    """
+    hdrs = (
+        spans.filter(F.col("kind") == "header")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("order", "text"))),
+                lambda s: s.getField("text"),
+            ).alias("__headers")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("order")
+    cells = (
+        spans.filter(F.col("kind") == "cell")
+        .withColumn("__idx", F.row_number().over(w) - 1)
+        .join(hdrs, id_col)
+        .withColumn("__n_h", F.size("__headers"))
+        .withColumn("__row", F.expr("__idx div __n_h"))
+        .withColumn("__col", F.expr("__idx % __n_h"))
+        .withColumn(
+            "__pair",
+            F.concat(
+                F.element_at("__headers", F.col("__col").cast("int") + 1),
+                F.lit(kv_sep),
+                F.col("text"),
+            ),
+        )
+    )
+    rows = cells.groupBy(id_col, "__row").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__col", "__pair"))),
+                lambda s: s.getField("__pair"),
+            ),
+            col_sep,
+        ).alias("__row_text")
+    )
+    return rows.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__row", "__row_text"))),
+                lambda s: s.getField("__row_text"),
+            ),
+            row_sep,
+        ).alias("linearized"),
+    )

@@ -181,3 +181,43 @@ def test_hostile_corpus_never_kills_tasks(spark):
     assert ("header", "A") in ok_spans and ("cell", "1.0") in ok_spans
     # huge colspan clamped (10k), not exploded to a gigarow
     assert len([r for r in out_rows if r.doc_id == "huge_colspan"]) < 20000
+
+
+def test_linearize_tables_pairs_headers_positionally(spark):
+    """3-column table, order-scrambled input rows: the per-doc zip must
+    reassemble 'H1: a | H2: b | H3: c' lines in table order regardless of
+    partitioning or input order."""
+    from table_extractor_spark.plans.triples import linearize_tables
+
+    rows = [
+        ("d1", "header", "Name", "", 1),
+        ("d1", "header", "Role", "", 2),
+        ("d1", "header", "Team", "", 3),
+        ("d1", "cell", "ana", "", 4),
+        ("d1", "cell", "gk", "", 5),
+        ("d1", "cell", "red", "", 6),
+        ("d1", "cell", "bo", "", 7),
+        ("d1", "cell", "st", "", 8),
+        ("d1", "cell", "blue", "", 9),
+        # a second doc with 2 columns exercises per-doc header arity
+        ("d2", "header", "K", "", 1),
+        ("d2", "header", "V", "", 2),
+        ("d2", "cell", "k1", "", 3),
+        ("d2", "cell", "v1", "", 4),
+    ]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(rows)
+    spans = spark.createDataFrame(
+        rows, ["doc_id", "kind", "text", "media_ref", "order"]
+    ).repartition(4)
+    got = {
+        r.doc_id: (r.n_rows, r.linearized)
+        for r in linearize_tables(spans).collect()
+    }
+    assert got["d1"] == (
+        2,
+        "Name: ana | Role: gk | Team: red\nName: bo | Role: st | Team: blue",
+    )
+    assert got["d2"] == (1, "K: k1 | V: v1")
