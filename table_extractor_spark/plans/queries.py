@@ -85,6 +85,7 @@ _R5_FRONT = (
     "hll_intersection_estimate",
     "bpe_fertility_by_lang",
     "table_linearize",
+    "packing_efficiency",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -3653,6 +3654,62 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, seq_len=512, n_shards=32)
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         {DUCK_HASH.format("CAST(doc_id AS VARCHAR)")} % 32 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM s GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       CAST((n_tokens + 511) // 512 AS BIGINT) AS n_bins,
+       CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+         AS waste_tokens,
+       CAST((1000000 * n_tokens) // (((n_tokens + 511) // 512) * 512)
+            AS BIGINT) AS fill_ppm
+FROM per
+""",
+)
+def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing audit that rides with ``sequence_packing`` /
+    ``shard_assembly``: per shard, how many 512-token bins the contiguous
+    token stream fills, the padding tokens wasted in the final partial
+    bin, and the realized fill rate in exact ppm — the no-silent-caps
+    report a packing stage must publish (a skewed shard assignment or a
+    pathological doc-length mix shows up here as fill divergence across
+    shards before it costs a training run).  One partial-agg'd per-shard
+    sum; pure integer arithmetic mirrored by the oracle."""
+    from ..operators.packing import pack_sequences
+
+    idx = pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=512, n_shards=32
+    )
+    return (
+        idx.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "n_bins", F.expr("(n_tokens + 511) div 512").cast("long")
+        )
+        .withColumn(
+            "waste_tokens",
+            (F.col("n_bins") * 512 - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr("(1000000 * n_tokens) div (n_bins * 512)").cast("long"),
+        )
+    )
 
 
 _SHARD_ASSEMBLY_ORACLE = f"""
