@@ -164,3 +164,44 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "vts",
+    left_watermark: str = "20 minutes",
+    right_watermark: str = "40 minutes",
+    max_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream watermarked INTERVAL join: each left row pairs with
+    right rows for the same ``key`` whose timestamp lands in
+    [left_ts, left_ts + max_delay] — the enrich-events-with-late-verdicts
+    shape (a crawl event joined to a moderation/quality verdict that
+    arrives minutes later on its own stream).
+
+    Both sides carry watermarks and the join predicate bounds the time
+    range, which is exactly what lets Spark EXPIRE join state: a buffered
+    left row is dropped once the right watermark passes
+    left_ts + max_delay, and vice versa — bounded state at 10^12 events,
+    where an unconstrained stream-stream join would buffer both streams
+    forever.  ``how="leftOuter"`` additionally emits unmatched left rows
+    (NULL right columns) — but only after the watermark proves no match
+    can still arrive, so outer results trail the data by the watermark
+    delay (the two-drain test pins this).
+
+    One shuffle per side on ``key``; state is per-key and
+    watermark-bounded.  The batch as-of join (operators/asof) is the
+    bounded-data analogue; this form exists for unbounded ingestion.
+    """
+    lw = left.withWatermark(left_ts, left_watermark).alias("l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + interval {max_delay}"
+    )
+    return lw.join(rw, cond, how).drop(F.col(f"r.{key}"))

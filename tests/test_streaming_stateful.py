@@ -161,3 +161,93 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
            lambda s: dedup_stream(s, ("user_id",)))
     ids = sorted(r.user_id for r in spark.read.parquet(out).collect())
     assert ids == ["e1", "e2", "e3"]
+
+
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("vts", TimestampType()),
+        StructField("doc_id", StringType()),
+        StructField("verdict", StringType()),
+    ]
+)
+
+EVENT_DOC_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("doc_id", StringType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def _drain_join(spark, ein, vin, out, ckpt, how):
+    from table_extractor_spark.streaming.stateful import interval_join_stream
+
+    es = spark.readStream.schema(EVENT_DOC_SCHEMA).parquet(ein)
+    vs = spark.readStream.schema(VERDICT_SCHEMA).parquet(vin)
+    q = (
+        interval_join_stream(es, vs, "doc_id", how=how)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_interval_join_matches_within_delay_only(spark, tmp_path):
+    ein, vin, out, ckpt = (
+        str(tmp_path / d) for d in ("ein", "vin", "out", "ckpt")
+    )
+    spark.createDataFrame(
+        [(_mins(0), "d1", "crawl"), (_mins(5), "d2", "crawl")],
+        EVENT_DOC_SCHEMA,
+    ).write.mode("append").parquet(ein)
+    spark.createDataFrame(
+        [
+            (_mins(10), "d1", "ok"),         # +10 min: inside 30-min delay
+            (_mins(50), "d2", "too-late"),   # +45 min: outside -> no match
+            (_mins(12), "d3", "orphan"),     # verdict without event
+        ],
+        VERDICT_SCHEMA,
+    ).write.mode("append").parquet(vin)
+    _drain_join(spark, ein, vin, out, ckpt, "inner")
+    rows = spark.read.parquet(out).collect()
+    assert sorted((r.doc_id, r.verdict) for r in rows) == [("d1", "ok")]
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    ein, vin, out, ckpt = (
+        str(tmp_path / d) for d in ("ein", "vin", "out", "ckpt")
+    )
+    spark.createDataFrame(
+        [(_mins(0), "d1", "crawl"), (_mins(5), "d2", "crawl")],
+        EVENT_DOC_SCHEMA,
+    ).write.mode("append").parquet(ein)
+    spark.createDataFrame(
+        [(_mins(10), "d1", "ok")], VERDICT_SCHEMA
+    ).write.mode("append").parquet(vin)
+    _drain_join(spark, ein, vin, out, ckpt, "leftOuter")
+    got1 = {(r.doc_id, r.verdict) for r in spark.read.parquet(out).collect()}
+    # d2 is unmatched but its join window [5, 35] is NOT yet past both
+    # watermarks -> the outer row must NOT have been emitted yet
+    assert got1 == {("d1", "ok")}
+
+    # a far-future row on each stream advances both watermarks past d2's
+    # window; the next drain must emit d2 exactly once, with NULL verdict
+    spark.createDataFrame(
+        [(_mins(300), "dx", "crawl")], EVENT_DOC_SCHEMA
+    ).write.mode("append").parquet(ein)
+    spark.createDataFrame(
+        [(_mins(300), "dx", "ok")], VERDICT_SCHEMA
+    ).write.mode("append").parquet(vin)
+    _drain_join(spark, ein, vin, out, ckpt, "leftOuter")
+    rows = spark.read.parquet(out).collect()
+    d2 = [r for r in rows if r.doc_id == "d2"]
+    assert len(d2) == 1 and d2[0].verdict is None
+    # and the matched row did not duplicate across drains
+    assert len([r for r in rows if r.doc_id == "d1"]) == 1
