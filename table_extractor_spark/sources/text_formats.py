@@ -93,3 +93,43 @@ def load_documents_csv(
         .csv(path)
     )
     return _split_good_bad(df, cols, storage_level)
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    *,
+    max_records_per_file: int = 100_000,
+    partition_cols: tuple = (),
+) -> None:
+    """Export a corpus as JSON-lines shards with a BOUNDED per-file record
+    count — the handoff format a training loader consumes (one document
+    object per line, many similarly-sized files so loader workers
+    parallelize evenly; a single giant file serializes the consumer, and
+    per-file skew starves some workers).
+
+    ``maxRecordsPerFile`` splits each task's output at the bound without
+    an extra shuffle (file count adapts to data volume — no hand-tuned
+    repartition to go stale as the corpus grows); ``partition_cols``
+    (e.g. ("split",) or ("lang",)) adds directory partitioning for
+    pruned downstream reads.  Overwrite mode is scoped to the writer.
+    """
+    w = df.write.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.mode("overwrite").json(path)
+
+
+def load_documents_orc(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = DOCUMENTS_DDL,
+) -> DataFrame:
+    """ORC corpus reader (schema enforced, same no-inference policy).
+
+    ORC is columnar like parquet — predicate pushdown and column pruning
+    work the same way, so there is no corrupt-record quarantine channel
+    here (a torn columnar file fails its split, unlike a torn text line);
+    this exists for warehouses standardized on ORC.  Writer counterpart:
+    ``df.write.orc(path)`` (round-trip pinned in tests)."""
+    return spark.read.schema(schema_ddl).orc(path)

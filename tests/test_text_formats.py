@@ -95,3 +95,65 @@ def test_jsonl_disk_only_storage_level(spark, tmp_path):
     # the persisted parse really is disk-only (no executor-memory cache)
     plan = good._jdf.queryExecution().optimizedPlan().toString()
     assert "StorageLevel(disk, 1 replicas)" in plan
+
+
+def test_write_jsonl_sharded_bounds_file_size_and_round_trips(spark, tmp_path):
+    import glob
+
+    from table_extractor_spark.sources.text_formats import (
+        load_documents_jsonl,
+        write_jsonl_sharded,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = str(tmp_path / "export")
+    write_jsonl_sharded(docs, out, max_records_per_file=20)
+    files = glob.glob(f"{out}/part-*")
+    assert files, "no shard files written"
+    # bounded: no file may exceed the record cap
+    for f in files:
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 20
+    # round-trip through the quarantine reader: all good, none bad
+    good, bad = load_documents_jsonl(spark, out)
+    assert good.count() == n and bad.count() == 0
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in good.select(*docs.columns).collect()}
+    assert a == b
+
+
+def test_write_jsonl_sharded_partitions_by_column(spark, tmp_path):
+    import os
+
+    from table_extractor_spark.sources.text_formats import (
+        write_jsonl_sharded,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_jsonl_sharded(docs, out, partition_cols=("lang",))
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    got = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("lang=")
+    }
+    assert got == langs
+    # partition-pruned read sees only that language
+    en = spark.read.json(f"{out}/lang=en")
+    assert en.count() == docs.filter("lang = 'en'").count()
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from table_extractor_spark.sources.text_formats import (
+        load_documents_orc,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "orc")
+    docs.write.orc(out)
+    back = load_documents_orc(spark, out)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in docs.collect()
+    }
