@@ -163,6 +163,32 @@ def quality_score(text_col, stopwords=DEFAULT_STOPWORDS) -> F.Column:
     )
 
 
+def linear_classifier_score(text_col, n_weights: int = 17) -> F.Column:
+    """Hashing-trick linear text classifier score (feature hashing,
+    Weinberger et al. ICML 2009 — the fastText-style model-based quality
+    filter of the CCNet / GPT-3 data recipes).  Each lowercase whitespace
+    token hashes to an integer weight in [-(n_weights//2), n_weights//2]
+    via the engine-shared md5 hash, and the document score is the int64
+    sum — a STUB model (weights are a hash, not learned) riding on the
+    REAL scale plumbing: one map-side ``F.aggregate`` over the token
+    array, pure JVM, zero shuffle, exact in any partitioning/order.  A
+    learned model swaps the weight expression for a broadcast
+    weight-table join; the plan shape is unchanged.  n_weights must be
+    odd so the weight range is symmetric around 0."""
+    if n_weights % 2 != 1:
+        raise ValueError(f"n_weights must be odd, got {n_weights}")
+    half = n_weights // 2
+
+    def weight(w):
+        h = F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+        return (h % n_weights) - half
+
+    ws = words(F.lower(text_col))
+    return F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+
+
 def with_quality_score(
     df, text_col: str = "text", out_col: str = "quality",
     stopwords=DEFAULT_STOPWORDS,

@@ -86,6 +86,7 @@ _R5_FRONT = (
     "bpe_fertility_by_lang",
     "table_linearize",
     "packing_efficiency",
+    "skew_report",
     # (c) divergence probes (green-expected; see the battery's comment)
     "probe_literal_specials",
     "probe_corpus_sums",
@@ -110,6 +111,10 @@ _R5_FRONT = (
     "range_join_value_bands",
     "asof_join_latest_error",
     "sessionization",
+    # (e) r6 queue: registered after the 50-slot window filled — ordered
+    # here (past slot 50) so they lead the next round's rotation and the
+    # registry contract records that they await their first driver row.
+    "quality_classifier",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1317,6 +1322,39 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
     )
+
+
+@register(
+    "skew_report",
+    oracle="""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS __total FROM documents
+), top AS (
+  SELECT lang, cnt FROM per ORDER BY cnt DESC, lang LIMIT 20
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) AS BIGINT) AS rank,
+       lang, cnt,
+       CAST((1000000 * cnt) // __total AS BIGINT) AS share_ppm
+FROM top, tot
+""",
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-shuffle skew diagnostic (operators/repartition.skew_report):
+    the hot-key profile of a join/aggregation key, run BEFORE committing a
+    plan to a big shuffle — it decides broadcast-vs-salt-vs-AQE while the
+    decision is still cheap.  share_ppm is each key's integer ppm share of
+    all rows; a key at ~1e6/P ppm (P = shuffle partitions) already owns an
+    entire partition, which is exactly the mega-article skew the corpus's
+    ``lang`` column exhibits (en ≈ 44%).  The per-key count is map-side
+    partial-agg'd; the global top-k is TakeOrderedAndProject (never a full
+    sort of the key table); the rank window runs over the already-LIMITed
+    top_k rows — a bounded single-partition stage by construction."""
+    from ..operators.repartition import skew_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skew_report(docs, "lang", top_k=20)
 
 
 @register(
@@ -2838,6 +2876,41 @@ FROM m
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.with_quality_score(docs).select("doc_id", "quality")
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(SUM(({DUCK_HASH.format("word")} % 17) - 8) AS BIGINT) AS score
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CASE WHEN score >= 0 THEN 'keep' ELSE 'cut' END AS verdict
+FROM s
+""",
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (functions/text.linear_classifier_score):
+    the fastText-shaped hashing-trick linear classifier of the CCNet /
+    GPT-3 recipes, as a STUB model (hash-derived integer weights) on the
+    real scale plumbing — the whole score is ONE map-side aggregate over
+    each doc's token array, pure JVM, zero shuffle, int64-exact in any
+    order, so the oracle replays it bit-for-bit via the shared md5 hash.
+    A learned model swaps the weight expression for a broadcast
+    weight-table join without changing the plan class."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.linear_classifier_score(F.col("text")).alias("score"),
+    ).withColumn(
+        "verdict",
+        F.when(F.col("score") >= 0, "keep").otherwise("cut"),
+    )
 
 
 @register(

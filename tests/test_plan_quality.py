@@ -4,6 +4,8 @@ broadcast, JVM-only expressions outside the kernel (no accidental Python)."""
 
 from __future__ import annotations
 
+import pytest
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -63,6 +65,48 @@ def test_text_analysis_stays_jvm_side(spark):
             and "MapInArrow" not in plan, (
             f"{name} unexpectedly crosses into Python:\n{plan}"
         )
+
+
+def test_quality_classifier_is_map_only_and_exact(spark):
+    """The hashing-trick linear classifier must be ONE map-side pass: no
+    Python crossing AND no Exchange anywhere in the scoring plan (the
+    per-doc score is an F.aggregate over the token array).  Values are
+    pinned against an independent Python replay of the shared md5-weight
+    arithmetic so the stub model's plumbing is exact, not just shaped."""
+    import hashlib
+
+    from table_extractor_spark.functions.text import linear_classifier_score
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("d1", "Alpha beta GAMMA"), ("d2", "x"), ("d3", "a a a")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in df.select(
+            "doc_id", linear_classifier_score(F.col("text")).alias("score")
+        ).collect()
+    }
+
+    def w(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % 17 - 8
+
+    expect = {
+        "d1": sum(w(x) for x in "alpha beta gamma".split(" ")),
+        "d2": w("x"),
+        "d3": 3 * w("a"),
+    }
+    assert got == expect, (got, expect)
+
+    plan = formatted(
+        df.select(linear_classifier_score(F.col("text")).alias("s"))
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "MapInArrow" not in plan, plan
+
+    with pytest.raises(ValueError):
+        linear_classifier_score(F.col("text"), n_weights=16)
 
 
 def test_similarity_broadcasts_queries_not_corpus(spark):
