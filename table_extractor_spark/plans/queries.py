@@ -115,6 +115,7 @@ _R5_FRONT = (
     # here (past slot 50) so they lead the next round's rotation and the
     # registry contract records that they await their first driver row.
     "quality_classifier",
+    "supplier_pagerank",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1355,6 +1356,83 @@ def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return skew_report(docs, "lang", top_k=20)
+
+
+def _duck_pagerank_round(prev: str, out: str) -> str:
+    """One exact-integer PageRank CTE: rank' = 150000 + 850000 *
+    sum(rank div outdeg) div 1e6 (DuckDB SUM promotes to int128; the
+    final CAST lands every round back on BIGINT like the Spark side)."""
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST(150000 + 850000 * COALESCE(SUM(r.rank_ppm // d.deg), 0)
+              // 1000000 AS BIGINT) AS rank_ppm
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN outdeg d ON d.src = e.src
+  LEFT JOIN {prev} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+
+
+@register(
+    "supplier_pagerank",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+), outdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes
+), {_duck_pagerank_round("r0", "r1")},
+{_duck_pagerank_round("r1", "r2")},
+{_duck_pagerank_round("r2", "r3")}
+SELECT node, rank_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_ppm DESC, node) AS BIGINT) AS rk
+FROM r3 ORDER BY rank_ppm DESC, node LIMIT 20
+""",
+)
+def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph ranking (operators/graph.pagerank): 3 exact-integer
+    PageRank rounds over the customer<->supplier interaction graph mined
+    from orders x lineitem (both directions, so the graph is cyclic and
+    mass actually circulates), then the top-20 nodes.  The iteration is
+    the Pregel-ish DataFrame shape — one join + one partial-agg'd groupBy
+    per round, ZERO driver traffic inside the loop — and the ppm integer
+    arithmetic is order-invariant, so the oracle replays all three rounds
+    as chained CTEs bit-for-bit.  Top-20 is TakeOrderedAndProject, never
+    a full sort of the node table."""
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3)
+    w = Window.orderBy(F.col("rank_ppm").desc(), F.col("node"))
+    return (
+        ranks.orderBy(F.col("rank_ppm").desc(), F.col("node"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
 
 
 @register(

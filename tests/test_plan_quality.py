@@ -109,6 +109,61 @@ def test_quality_classifier_is_map_only_and_exact(spark):
         linear_classifier_score(F.col("text"), n_weights=16)
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The third leg of the broadcast-vs-salt-vs-AQE decision that
+    skew_report feeds: with AQE skew-join on (the engine's recommended
+    confs enable AQE), a shuffle join whose hot key owns a partition is
+    SPLIT at runtime — the finalized adaptive plan must mark the join
+    skew=true.  Thresholds are lowered to make the sandbox-scale hot key
+    (~83% of rows on one key) cross the same trigger a mega-article key
+    crosses at 100 TB."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, 0)
+            .otherwise((F.col("id") % 9) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # collect() (not count(), which finalizes a different plan tree)
+        # so THIS DataFrame's adaptive plan reaches its final form
+        assert len(joined.collect()) == 60000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_pagerank_plan_is_topk_without_cross_product(spark):
+    """supplier_pagerank: the per-round joins are hash joins on the edge
+    key (never a cross product), and the final top-20 is
+    TakeOrderedAndProject — no full sort of the node table."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["supplier_pagerank"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_similarity_broadcasts_queries_not_corpus(spark):
     from table_extractor_spark.plans import queries as Q
 
