@@ -87,9 +87,13 @@ def pagerank(
             .agg(F.sum("__c").cast("long").alias("__s"))
         )
         s = F.coalesce(F.col("__s"), F.lit(0).cast("long"))
+        # the >= 0 leg catches a sum so large it WRAPPED int64 during
+        # aggregation (wraps land anywhere in [-2^63, 2^63); a negative
+        # or huge value both fail) — the budget check alone would let a
+        # wrapped-negative sum through
         guarded = F.when(
             F.assert_true(
-                s < F.lit(sum_budget),
+                (s >= 0) & (s < F.lit(sum_budget)),
                 F.lit(
                     "pagerank: contribution sum exceeds the int64 damping "
                     "budget (~1.08e13 ppm); rescale ranks or shard the graph"
