@@ -57,6 +57,65 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    seq_len: int = 512,
+    stride: int = 384,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_token, n_tokens, chunk_hash): sliding-window
+    chunking of long documents into ``seq_len``-token windows every
+    ``stride`` tokens (overlap = seq_len - stride) — the long-context
+    training-prep step that SPLITS a document, complementing
+    ``pack_sequences`` which CONCATENATES documents.  Every token is
+    covered; the final window is allowed to be short (no padding here —
+    padding is the packer's concern); ``chunk_hash`` is the md5 of the
+    chunk text so the full payload never has to travel for audits.
+
+    Shape: chunk boundaries are pure per-row integer arithmetic over the
+    token array (sequence -> transform -> explode), all JVM expressions —
+    ZERO shuffles regardless of corpus size, and deterministic in any
+    partitioning, so the SQL oracle replays every chunk bit-for-bit."""
+    if seq_len < 1 or stride < 1:
+        raise ValueError(f"seq_len and stride must be >= 1, got {seq_len}, {stride}")
+    if stride > seq_len:
+        raise ValueError(
+            f"stride {stride} > seq_len {seq_len} would skip tokens"
+        )
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # windows start every `stride` tokens; the last start is the smallest
+    # multiple of stride with start + seq_len >= n, so the tail is covered:
+    # n_chunks = (max(n - seq_len, 0) + stride - 1) div stride + 1
+    n_chunks = (
+        F.expr(
+            f"CAST((greatest(size(split({text_col}, ' ')) - {seq_len}, 0)"
+            f" + {stride} - 1) div {stride} + 1 AS INT)"
+        )
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                (i * stride).cast("long").alias("start_token"),
+                F.least(F.lit(seq_len), n - i * stride)
+                .cast("long")
+                .alias("n_tokens"),
+                F.md5(
+                    F.array_join(
+                        F.slice(toks, i * stride + 1, seq_len), " "
+                    )
+                ).alias("chunk_hash"),
+            ),
+        )
+    )
+    return docs.select(F.col(id_col), chunk.alias("c")).select(
+        id_col, "c.chunk_idx", "c.start_token", "c.n_tokens", "c.chunk_hash"
+    )
+
+
 def assemble_shards(
     docs: DataFrame,
     seq_len: int = 512,

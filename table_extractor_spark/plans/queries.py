@@ -116,6 +116,7 @@ _R5_FRONT = (
     # registry contract records that they await their first driver row.
     "quality_classifier",
     "supplier_pagerank",
+    "chunk_documents",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -3861,6 +3862,43 @@ def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_tokens) div (n_bins * 512)").cast("long"),
         )
     )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, w, n,
+         unnest(generate_series(0,
+             CAST((greatest(n - 64, 0) + 47) // 48 AS INT))) AS i
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_token,
+       CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' '))
+         AS chunk_hash
+FROM c
+""",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/packing.chunk_documents): long
+    documents split into 64-token windows every 48 tokens (16-token
+    overlap) — the long-context training-prep step that SPLITS docs,
+    complementing sequence_packing which CONCATENATES them.  Chunk
+    boundaries are per-row integer arithmetic over the token array
+    (sequence -> transform -> explode, all JVM): ZERO shuffles at any
+    corpus size, deterministic under any partitioning, chunk payloads
+    md5-compacted at the query surface per the probe-battery rule."""
+    from ..operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, seq_len=64, stride=48)
 
 
 _SHARD_ASSEMBLY_ORACLE = f"""

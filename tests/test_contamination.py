@@ -375,3 +375,63 @@ def test_unimax_allocation_zero_count_group_is_null_ppm(spark):
     # an ANSI divide-by-zero
     assert out["a"] == (0, None)
     assert out["b"] == (15, 1_500_000)
+
+
+# --- sliding-window chunking ---------------------------------------------
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """seq_len=4, stride=3 over 10 tokens -> starts 0,3,6; the tail window
+    is short-capped, every token is inside >=1 chunk, consecutive chunks
+    overlap by seq_len - stride, and hashes pin the exact chunk payloads."""
+    import hashlib
+
+    from table_extractor_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [("d1", " ".join(words)), ("d2", "a b"), ("d3", "solo")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_hash)
+        for r in chunk_documents(df, seq_len=4, stride=3).collect()
+    )
+
+    def h(ws):
+        return hashlib.md5(" ".join(ws).encode()).hexdigest()
+
+    assert rows == [
+        ("d1", 0, 0, 4, h(words[0:4])),
+        ("d1", 1, 3, 4, h(words[3:7])),
+        ("d1", 2, 6, 4, h(words[6:10])),
+        ("d2", 0, 0, 2, h(["a", "b"])),
+        ("d3", 0, 0, 1, h(["solo"])),
+    ]
+    # coverage + overlap invariants, computed from the emitted index
+    d1 = [r for r in rows if r[0] == "d1"]
+    covered = set()
+    for _, _, start, n, _ in d1:
+        covered |= set(range(start, start + n))
+    assert covered == set(range(10))
+    for a, b in zip(d1, d1[1:]):
+        assert a[2] + a[3] - b[2] == 4 - 3 + 0  # overlap = seq_len - stride
+
+
+def test_chunk_documents_is_shuffle_free_and_validated(spark):
+    import pytest
+
+    from table_extractor_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    plan = (
+        chunk_documents(df, seq_len=4, stride=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError):
+        chunk_documents(df, seq_len=4, stride=5)  # would skip tokens
+    with pytest.raises(ValueError):
+        chunk_documents(df, seq_len=0, stride=1)
