@@ -1,0 +1,95 @@
+"""Sequential funnel analysis over an event stream.
+
+The classic product/ops question — of the users who did step 1, how many
+went ON to do step 2, then step 3 — under STRICT ordering semantics:
+step k+1 counts only events strictly after the user's earliest
+qualifying step-k event (the standard funnel definition, e.g. ClickHouse
+``windowFunnel`` / BigQuery funnel patterns; ties at the same timestamp
+do NOT advance the funnel, so the result is deterministic under any
+event order).
+
+Scale shape: one filtered aggregation per step over the event table,
+each joined to the (user, earliest-qualifying-time) table of the
+PREVIOUS step — the per-step user table shrinks monotonically, the join
+key is always the user id (partitioning reused across steps, AQE picks
+broadcast when a step's survivors fit), and no window function ever runs
+over the raw event table.  The final report is one row per step — the
+only driver-sized object.  Each step re-scans the event table, but every
+scan is column-pruned to (user, type, ts) and predicate-pushed on the
+step's type; callers running many funnels over a hot event table should
+persist that 3-column projection once upstream instead of asking this
+operator to cache 10^12 raw events.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PPM = 1_000_000
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step_idx, step, n_users, conversion_ppm): users surviving each
+    funnel step under strict temporal ordering, plus the integer ppm
+    conversion rate from the previous step.  step_idx 0 is the ``(all)``
+    base row — every distinct user — whose conversion_ppm is NULL."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    base = (
+        events.select(user_col)
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.lit(0).cast("long").alias("step_idx"),
+            F.lit("(all)").alias("step"),
+            "n_users",
+        )
+    )
+    tiers = [base]
+    cur = None
+    for i, step in enumerate(steps):
+        filt = events.filter(F.col(type_col) == step)
+        if cur is None:
+            cur = filt.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                filt.withColumnRenamed(ts_col, "__ts")
+                .join(cur, user_col)
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min("__ts").alias("__t"))
+            )
+        tiers.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    # the report is len(steps)+1 rows — a single-partition window here is
+    # bounded by construction, same as skew_report's rank stage
+    w = Window.orderBy("step_idx")
+    return (
+        out.withColumn("__prev", F.lag("n_users").over(w))
+        .withColumn(
+            "conversion_ppm",
+            F.expr(
+                f"CAST(CASE WHEN step_idx > 0 "
+                f"THEN {PPM} * n_users div __prev END AS BIGINT)"
+            ),
+        )
+        .select("step_idx", "step", "n_users", "conversion_ppm")
+    )

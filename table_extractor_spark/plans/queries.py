@@ -117,6 +117,7 @@ _R5_FRONT = (
     "quality_classifier",
     "supplier_pagerank",
     "chunk_documents",
+    "event_funnel",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1434,6 +1435,53 @@ def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rk", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH u0 AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+),
+tiers AS (
+      SELECT 0 AS i, '(all)' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM u0
+  UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT CAST(i AS BIGINT) AS step_idx, step, n_users,
+       CAST(CASE WHEN i > 0 THEN 1000000 * n_users
+                 // lag(n_users) OVER (ORDER BY i) END AS BIGINT)
+         AS conversion_ppm
+FROM tiers
+""",
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (operators/funnel.funnel_counts): users
+    surviving view -> click -> purchase under STRICT temporal ordering
+    (step k+1 counts only events strictly after the user's earliest
+    qualifying step-k event; same-instant ties do not advance).  One
+    filtered per-user aggregation per step, each joined to the shrinking
+    survivor table of the previous step on the user key — partitioning
+    reused across steps, no window over the raw event table; the k+1-row
+    report is the only bounded-window stage.  Integer ppm conversions,
+    replayed by chained CTEs."""
+    from ..operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
 
 
 @register(

@@ -1,0 +1,79 @@
+"""Sequential funnel semantics: strict ordering, ties, attrition."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from table_extractor_spark.operators.funnel import funnel_counts
+
+
+def _ts(minute):
+    return datetime(2024, 1, 1, 12, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, _ts(m)) for u, t, m in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_attrition_and_strict_order(spark):
+    """u1 completes; u2 clicked BEFORE viewing (click must not count) and
+    never clicks again; u3 views only; u4 does steps out of order entirely;
+    u5 never views (excluded from step 1 even though they purchase)."""
+    ev = _events(spark, [
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        ("u2", "click", 1), ("u2", "view", 2),
+        ("u3", "view", 1),
+        ("u4", "purchase", 1), ("u4", "click", 2), ("u4", "view", 3),
+        ("u5", "purchase", 1), ("u5", "click", 2),
+    ])
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"], r["conversion_ppm"])
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got["(all)"] == (0, 5, None)
+    assert got["view"] == (1, 4, 800000)       # u1 u2 u3 u4
+    assert got["click"] == (2, 1, 250000)      # only u1 clicks after viewing
+    assert got["purchase"] == (3, 1, 1000000)  # u1 completes
+
+
+def test_funnel_same_instant_tie_does_not_advance(spark):
+    """A click at the SAME timestamp as the earliest view does not advance
+    the funnel (strict >); a later click does."""
+    ev = _events(spark, [
+        ("a", "view", 1), ("a", "click", 1),
+        ("b", "view", 1), ("b", "click", 1), ("b", "click", 2),
+    ])
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click"]).collect()
+    }
+    assert got["view"] == 2
+    assert got["click"] == 1  # only b, via the minute-2 click
+
+
+def test_funnel_earliest_qualifying_time_carries_forward(spark):
+    """The step-k anchor is the EARLIEST qualifying event, so a later
+    purchase between two clicks still counts (anchor = first valid click,
+    not the last)."""
+    ev = _events(spark, [
+        ("x", "view", 1), ("x", "click", 2), ("x", "purchase", 3),
+        ("x", "click", 4),
+    ])
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got["purchase"] == 1
+
+
+def test_funnel_validates_steps(spark):
+    ev = _events(spark, [("u", "view", 1)])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, [])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ["view", "view"])
