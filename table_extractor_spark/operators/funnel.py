@@ -28,6 +28,73 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 PPM = 1_000_000
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = WEEK_US,
+) -> DataFrame:
+    """(cohort_period, period_offset, n_users, cohort_size, retention_ppm):
+    the classic cohort-retention matrix — users bucketed by the period of
+    their FIRST event, each later period reporting how many of them were
+    active again.  Periods are integer divisions of epoch microseconds
+    (the engine's timestamp-parity convention), so both engines bucket
+    identically with no calendar/timezone functions involved.
+
+    Shape: one per-user min (partial-agg'd), one user-key join back to
+    the events (co-partitioned with the groupBys that follow), one
+    distinct over (user, cohort, offset) — bounded by active user-periods,
+    not events — then two bounded-key aggregations.  retention_ppm is the
+    integer ppm share of the cohort active at that offset; offset 0 is
+    1_000_000 by construction (every user is active in their own first
+    period)."""
+    if period_us < 1:
+        raise ValueError(f"period_us must be >= 1, got {period_us}")
+    # parquet timestamps load as TIMESTAMP_NTZ; the session runs UTC, so
+    # the cast is the engine's standard parity-safe epoch path
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cohorts = (
+        events.groupBy(user_col)
+        .agg(F.min(us).alias("__first_us"))
+        .select(
+            user_col,
+            F.expr(f"__first_us div {period_us}")
+            .cast("long")
+            .alias("cohort_period"),
+        )
+    )
+    cells = (
+        events.select(F.col(user_col), us.alias("__us"))
+        .join(cohorts, user_col)
+        .select(
+            user_col,
+            "cohort_period",
+            (F.expr(f"__us div {period_us}") - F.col("cohort_period"))
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .distinct()
+    )
+    counts = cells.groupBy("cohort_period", "period_offset").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    sizes = cohorts.groupBy("cohort_period").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_period")
+        .withColumn(
+            "retention_ppm",
+            F.expr(f"CAST({PPM} * n_users div cohort_size AS BIGINT)"),
+        )
+        .select(
+            "cohort_period", "period_offset", "n_users",
+            "cohort_size", "retention_ppm",
+        )
+    )
 
 
 def funnel_counts(

@@ -77,3 +77,53 @@ def test_funnel_validates_steps(spark):
         funnel_counts(ev, [])
     with pytest.raises(ValueError):
         funnel_counts(ev, ["view", "view"])
+
+
+# --- cohort retention ---------------------------------------------------
+
+
+def test_cohort_retention_matrix(spark):
+    """Two cohorts: a+b first active in period 0 (a returns in period 1,
+    both active period 0); c first active in period 1 and returns in
+    period 2.  Periods here are 1-minute buckets for fixture brevity."""
+    from table_extractor_spark.operators.funnel import cohort_retention
+
+    minute_us = 60 * 1_000_000
+    ev = _events(spark, [
+        ("a", "view", 0), ("a", "click", 1),
+        ("b", "view", 0),
+        ("c", "view", 1), ("c", "view", 2), ("c", "click", 2),
+    ])
+    got = {
+        (r["cohort_period"] % 10_000_000, r["period_offset"]):
+            (r["n_users"], r["cohort_size"], r["retention_ppm"])
+        for r in cohort_retention(ev, period_us=minute_us).collect()
+    }
+    # normalize cohort ids relative to the smallest
+    base = min(k[0] for k in got)
+    got = {(k[0] - base, k[1]): v for k, v in got.items()}
+    assert got == {
+        (0, 0): (2, 2, 1_000_000),  # a, b active in their own period
+        (0, 1): (1, 2, 500_000),    # only a returns
+        (1, 0): (1, 1, 1_000_000),  # c's own period
+        (1, 1): (1, 1, 1_000_000),  # c returns next period
+    }
+
+
+def test_cohort_retention_offset_zero_is_always_full(spark):
+    from table_extractor_spark.operators.funnel import cohort_retention
+
+    ev = _events(spark, [("u%d" % i, "view", i % 7) for i in range(20)])
+    for r in cohort_retention(ev, period_us=60 * 1_000_000).collect():
+        if r["period_offset"] == 0:
+            assert r["retention_ppm"] == 1_000_000
+        assert 0 <= r["retention_ppm"] <= 1_000_000
+        assert r["n_users"] <= r["cohort_size"]
+
+
+def test_cohort_retention_validates_period(spark):
+    from table_extractor_spark.operators.funnel import cohort_retention
+
+    ev = _events(spark, [("u", "view", 1)])
+    with pytest.raises(ValueError):
+        cohort_retention(ev, period_us=0)
