@@ -119,6 +119,7 @@ _R5_FRONT = (
     "chunk_documents",
     "event_funnel",
     "cohort_retention",
+    "corpus_datasheet",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1483,6 +1484,55 @@ def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS val FROM documents
+UNION ALL SELECT 'n_tokens',
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_langs',
+  CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_sources',
+  CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_exact_dup_docs',
+  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM documents
+UNION ALL SELECT 'max_doc_tokens',
+  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) FROM documents
+UNION ALL SELECT 'min_doc_tokens',
+  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) FROM documents
+""",
+)
+def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card stat block (Gebru et al. 2021, "Datasheets for
+    Datasets"): the headline numbers a corpus release publishes — doc and
+    token totals, language/source breadth, the exact-duplicate count, and
+    the doc-length envelope — as ONE single-scan aggregate row stacked
+    into (metric, val).  All counts exact int64 (the exact-dup figure
+    needs a distinct over text: an honest full-corpus distinct; at
+    10^12 docs swap in the HLL estimate from hll_distinct_estimate when
+    approximate is acceptable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    agg = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count("*") - F.countDistinct("text"))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.max(toks).cast("long").alias("max_doc_tokens"),
+        F.min(toks).cast("long").alias("min_doc_tokens"),
+    )
+    return agg.selectExpr(
+        "stack(7, "
+        "'n_docs', n_docs, 'n_tokens', n_tokens, 'n_langs', n_langs, "
+        "'n_sources', n_sources, 'n_exact_dup_docs', n_exact_dup_docs, "
+        "'max_doc_tokens', max_doc_tokens, 'min_doc_tokens', min_doc_tokens"
+        ") AS (metric, val)"
+    )
 
 
 @register(
