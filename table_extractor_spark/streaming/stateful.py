@@ -166,6 +166,83 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_DONE_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("completed_at_us", LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("step_idx", IntegerType()),
+        StructField("anchor_us", LongType()),
+    ]
+)
+
+
+def funnel_stateful(events: DataFrame, steps) -> DataFrame:
+    """Streaming sequential funnel: a per-user state machine advancing
+    through ``steps`` under the batch ``event_funnel`` semantics — step
+    k+1 requires an event strictly after the step-k anchor, and the
+    anchor is always the EARLIEST qualifying event.  Emits one
+    (user_id, completed_at_us) row when a user finishes the last step;
+    state is two fields per user (step index + anchor), survives
+    micro-batch boundaries and query restarts, and a completed user is
+    never re-emitted.
+
+    Equivalence to the batch funnel holds when each user's events arrive
+    in event-time order ACROSS micro-batches (within a batch they are
+    sorted here); a straggler older than the current anchor can delay a
+    conversion but can never create a false one — the conservative
+    failure mode for an ingest-time metric, with the batch query as the
+    exact end-of-day reconciliation."""
+    steps = list(steps)
+    if len(steps) < 1 or len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be non-empty and distinct: {steps!r}")
+    n_steps = len(steps)
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        step_idx, anchor_us = state.get if state.exists else (0, -1)
+        done = []
+        if step_idx < n_steps:
+            for pdf in pdfs:
+                for _, row in pdf.sort_values("ts_us").iterrows():
+                    if step_idx >= n_steps:
+                        break
+                    if row["event_type"] == steps[step_idx] and (
+                        step_idx == 0 or int(row["ts_us"]) > anchor_us
+                    ):
+                        anchor_us = int(row["ts_us"])
+                        step_idx += 1
+                        if step_idx == n_steps:
+                            done.append((user_id, anchor_us))
+                            break
+        state.update((step_idx, anchor_us))
+        if done:
+            yield pd.DataFrame(
+                done, columns=["user_id", "completed_at_us"]
+            )
+
+    prepared = events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_DONE_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

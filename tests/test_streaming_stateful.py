@@ -251,3 +251,53 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(
     assert len(d2) == 1 and d2[0].verdict is None
     # and the matched row did not duplicate across drains
     assert len([r for r in rows if r.doc_id == "d1"]) == 1
+
+
+def test_stream_funnel_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming funnel's completions across two drains (state carried
+    over the micro-batch boundary) must equal the batch event_funnel's
+    final-step survivors on the same bounded data, one row per user."""
+    from table_extractor_spark.operators.funnel import funnel_counts
+    from table_extractor_spark.streaming.stateful import funnel_stateful
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("fin", "fout", "fckpt"))
+    steps = ["view", "click", "purchase"]
+
+    # batch 1: u1 views+clicks; u2 clicks before viewing (must not count);
+    # u3 completes everything in one batch
+    _write_batch(spark, inp, [
+        (_mins(1), "u1", "view", 1.0),
+        (_mins(2), "u1", "click", 1.0),
+        (_mins(1), "u2", "click", 1.0),
+        (_mins(2), "u2", "view", 1.0),
+        (_mins(1), "u3", "view", 1.0),
+        (_mins(2), "u3", "click", 1.0),
+        (_mins(3), "u3", "purchase", 1.0),
+    ])
+    _drain(spark, inp, out, ckpt, lambda s: funnel_stateful(s, steps))
+    first = {r["user_id"]: r["completed_at_us"]
+             for r in spark.read.parquet(out).collect()}
+    assert first == {"u3": 1704110580000000}  # 12:03 in epoch us
+
+    # batch 2 (fresh query, resumed state): u1 purchases -> completes;
+    # u2's purchase must NOT complete (still stuck: click never counted);
+    # u3 purchases again -> must NOT re-emit
+    _write_batch(spark, inp, [
+        (_mins(10), "u1", "purchase", 1.0),
+        (_mins(10), "u2", "purchase", 1.0),
+        (_mins(10), "u3", "purchase", 1.0),
+    ])
+    _drain(spark, inp, out, ckpt, lambda s: funnel_stateful(s, steps))
+    got = {r["user_id"]: r["completed_at_us"]
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"u1", "u3"}
+
+    # batch-funnel differential on the full bounded data
+    all_events = spark.read.parquet(inp).select("user_id", "event_type", "ts")
+    batch = {r["step"]: r["n_users"]
+             for r in funnel_counts(all_events, steps).collect()}
+    assert batch["purchase"] == len(got) == 2
+
+    import pytest
+    with pytest.raises(ValueError):
+        funnel_stateful(all_events, [])
