@@ -279,6 +279,61 @@ def hll_estimate_grouped(
     )
 
 
+def countmin_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+    sum_budget: int = 1 << 62,
+) -> DataFrame:
+    """(est_join_rows,): upper-bound estimate of |A join_key B| from the
+    INNER PRODUCT of the two sides' count-min cell tables (Cormode &
+    Muthukrishnan 2005, the sketch's second classic use after point
+    queries): for each of the d rows, sum cntA*cntB over the w cells;
+    hash collisions only ADD cross terms, so every row upper-bounds the
+    true join cardinality and the MIN over rows is the tightest.  This is
+    the pre-flight check for a join (especially a self-join on a skewed
+    key, where the true size is sum of cnt(k)^2 and can be quadratic):
+    two bounded d*w sketches and a d*w-row join answer "will this
+    explode" WITHOUT shuffling either table by the key.
+
+    est >= true always; the estimate is exact when no two keys collide in
+    any cell of the winning row.  The per-row product sum is guarded
+    against int64 wrap (negative or over-budget fails the job loudly, the
+    engine's exact-or-fail policy)."""
+    sa = countmin_sketch(a, key_col=key_col, depth=depth, width=width)
+    sb = countmin_sketch(b, key_col=key_col, depth=depth, width=width)
+    prod = (
+        sa.alias("a")
+        .join(sb.alias("b"), ["row", "cell"])
+        .select(
+            F.col("row"),
+            (F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("__p"),
+        )
+    )
+    per_row = prod.groupBy("row").agg(F.sum("__p").cast("long").alias("__s"))
+    # a row with NO overlapping cells proves the join is empty — keep it
+    # as an explicit 0 so the MIN can see it
+    spine = sa.select("row").distinct()
+    s = F.coalesce(F.col("__s"), F.lit(0).cast("long"))
+    guarded = F.when(
+        F.assert_true(
+            (s >= 0) & (s < F.lit(sum_budget)),
+            F.lit(
+                "countmin_join_size: per-row product sum exceeds the int64 "
+                "budget; widen the sketch or pre-aggregate the hot keys"
+            ),
+        ).isNull(),
+        s,
+    )
+    return (
+        spine.join(per_row, "row", "left")
+        .select(guarded.alias("__g"))
+        .agg(F.min("__g").cast("long").alias("est_join_rows"))
+    )
+
+
 def countmin_heavy_hitters(
     keys: DataFrame,
     threshold: int,

@@ -120,6 +120,7 @@ _R5_FRONT = (
     "event_funnel",
     "cohort_retention",
     "corpus_datasheet",
+    "join_size_estimate",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1484,6 +1485,56 @@ def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+cells AS (
+  SELECT t.r AS row,
+         ({DUCK_HASH.format("CAST(t.r AS VARCHAR) || '|' || k.key")} % 256)
+           AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM k, generate_series(0, 3) t(r)
+  GROUP BY 1, 2
+),
+per_row AS (
+  SELECT row, CAST(SUM(cnt * cnt) AS BIGINT) AS s FROM cells GROUP BY row
+),
+exact AS (
+  SELECT CAST(SUM(n * n) AS BIGINT) AS exact_join_rows FROM (
+    SELECT COUNT(*) AS n FROM events GROUP BY user_id
+  )
+)
+SELECT CAST(MIN(s) AS BIGINT) AS est_join_rows, exact_join_rows
+FROM per_row, exact GROUP BY exact_join_rows
+""",
+)
+def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size pre-flight (operators/sketches.
+    countmin_join_size): estimate |events self-join on user_id| — the
+    quadratic-blowup question behind every pair-generation stage — from
+    the count-min inner product (Cormode & Muthukrishnan 2005), paired
+    with the exact sum-of-squares for audit.  est >= exact always; the
+    whole answer comes from two d*w cell tables, never a key shuffle of
+    the event table.  Complements skew_report: that names the hot keys,
+    this prices the join they would produce."""
+    from ..operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("key"))
+    est = SK.countmin_join_size(keys, keys)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n"))
+            .cast("long")
+            .alias("exact_join_rows")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
 
 
 @register(

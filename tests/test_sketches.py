@@ -338,3 +338,39 @@ def test_hll_inclusion_exclusion_intersection(spark):
     # disjoint truth is 0; the signed estimate must sit inside a few
     # compounded sigmas (3 * 1.04/sqrt(256) per sketch, ~20% of 600)
     assert abs(ea + eb - eu) <= 0.2 * (ea + eb)
+
+
+# --- count-min join-size estimate --------------------------------------------
+
+
+def test_join_size_estimate_upper_bounds_truth(spark):
+    from table_extractor_spark.operators.sketches import countmin_join_size
+
+    a = _keys(spark, ["x"] * 5 + ["y"] * 3 + ["z"])
+    b = _keys(spark, ["x"] * 2 + ["y"] * 4 + ["w"] * 7)
+    true_size = 5 * 2 + 3 * 4  # x pairs + y pairs; z/w match nothing
+    est = countmin_join_size(a, b).collect()[0]["est_join_rows"]
+    assert est >= true_size
+    # 3 keys in 256 cells: no collisions at this scale -> exact
+    assert est == true_size
+
+
+def test_join_size_estimate_selfjoin_and_empty_overlap(spark):
+    from table_extractor_spark.operators.sketches import countmin_join_size
+
+    a = _keys(spark, ["a"] * 4 + ["b"] * 2)
+    self_est = countmin_join_size(a, a).collect()[0]["est_join_rows"]
+    assert self_est == 4 * 4 + 2 * 2  # sum of squares, collision-free here
+
+    disjoint = countmin_join_size(
+        a, _keys(spark, ["c", "d"])
+    ).collect()[0]["est_join_rows"]
+    assert disjoint == 0
+
+
+def test_join_size_estimate_guard_fails_loudly(spark):
+    from table_extractor_spark.operators.sketches import countmin_join_size
+
+    a = _keys(spark, ["k"] * 10)
+    with pytest.raises(Exception, match="int64 budget"):
+        countmin_join_size(a, a, sum_budget=5).collect()
