@@ -180,8 +180,9 @@ def linear_classifier_score(text_col, n_weights: int = 17) -> F.Column:
     half = n_weights // 2
 
     def weight(w):
-        h = F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-        return (h % n_weights) - half
+        from .hashing import hash60
+
+        return (hash60(w) % n_weights) - half
 
     ws = words(F.lower(text_col))
     return F.aggregate(

@@ -149,12 +149,15 @@ def funnel_counts(
     # the report is len(steps)+1 rows — a single-partition window here is
     # bounded by construction, same as skew_report's rank stage
     w = Window.orderBy("step_idx")
+    # conversion from an empty previous step is undefined — NULL, not an
+    # ANSI divide-by-zero abort (a funnel step that killed everyone is a
+    # legitimate result the report must survive)
     return (
         out.withColumn("__prev", F.lag("n_users").over(w))
         .withColumn(
             "conversion_ppm",
             F.expr(
-                f"CAST(CASE WHEN step_idx > 0 "
+                f"CAST(CASE WHEN step_idx > 0 AND __prev > 0 "
                 f"THEN {PPM} * n_users div __prev END AS BIGINT)"
             ),
         )

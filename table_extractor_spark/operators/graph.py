@@ -57,13 +57,21 @@ def pagerank(
     (src, dst, deg) table is persisted: iterations re-scan it, not the
     raw edges.  Lineage is truncated with localCheckpoint every
     ``checkpoint_every`` iterations so deep runs don't accumulate an
-    unbounded plan tree (K<=8, the common case, never checkpoints)."""
+    unbounded plan tree (K<=8, the common case, never checkpoints).
+
+    Cache lifetime: the fan and node tables stay persisted for as long as
+    the returned DataFrame is in use (they back every iteration of its
+    plan, so they cannot be released here).  A session ranking MANY
+    graphs should unpersist them between runs —
+    ``spark.catalog.clearCache()`` or hold references and
+    ``df.unpersist()`` once the ranks are materialized."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    # the edge list feeds the degree table, the fan-out table, and the
-    # node spine — persist it so a derived edge list (e.g. a big join)
-    # is computed once, not once per consumer per iteration
-    edges = edges.persist()
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+            " (use a value > iters to disable checkpointing)"
+        )
     outdeg = edges.groupBy(src).agg(F.count("*").cast("long").alias("__deg"))
     fan = edges.join(outdeg, src).select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg"

@@ -87,13 +87,12 @@ def chunk_documents(
     n = F.size(toks)
     # windows start every `stride` tokens; the last start is the smallest
     # multiple of stride with start + seq_len >= n, so the tail is covered:
-    # n_chunks = (max(n - seq_len, 0) + stride - 1) div stride + 1
-    n_chunks = (
-        F.expr(
-            f"CAST((greatest(size(split({text_col}, ' ')) - {seq_len}, 0)"
-            f" + {stride} - 1) div {stride} + 1 AS INT)"
-        )
-    )
+    # n_chunks = (max(n - seq_len, 0) + stride - 1) div stride + 1.
+    # Column form (not an interpolated SQL string): reuses the one split
+    # and works for any column name; floor-of-double is exact here since
+    # token counts sit far below 2^53.
+    num = F.greatest(n - F.lit(seq_len), F.lit(0)) + F.lit(stride - 1)
+    n_chunks = (F.floor(num / F.lit(stride)) + 1).cast("int")
     chunk = F.explode(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),

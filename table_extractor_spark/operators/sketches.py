@@ -30,9 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# shared with the SQL oracle: H(s) = bigint(first 15 hex chars of md5(s))
-def _hash60(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# shared with the SQL oracle: H(s) = bigint(first 15 hex chars of md5(s));
+# single definition in functions/hashing.py, kept under the old name here
+# for the module's internal call sites
+from ..functions.hashing import hash60 as _hash60  # noqa: E402
 
 
 def countmin_sketch(
@@ -314,8 +315,14 @@ def countmin_join_size(
     )
     per_row = prod.groupBy("row").agg(F.sum("__p").cast("long").alias("__s"))
     # a row with NO overlapping cells proves the join is empty — keep it
-    # as an explicit 0 so the MIN can see it
-    spine = sa.select("row").distinct()
+    # as an explicit 0 so the MIN can see it.  The spine is the STATIC
+    # 0..depth-1 range, not a side's sketch rows: an empty input must
+    # yield 0 (its join with anything is empty), never NULL, and the
+    # answer must be symmetric in a and b
+    spine = (
+        a.sparkSession.range(depth)
+        .select(F.col("id").cast("int").alias("row"))
+    )
     s = F.coalesce(F.col("__s"), F.lit(0).cast("long"))
     guarded = F.when(
         F.assert_true(

@@ -1465,8 +1465,9 @@ tiers AS (
   UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT CAST(i AS BIGINT) AS step_idx, step, n_users,
-       CAST(CASE WHEN i > 0 THEN 1000000 * n_users
-                 // lag(n_users) OVER (ORDER BY i) END AS BIGINT)
+       CAST(CASE WHEN i > 0 AND lag(n_users) OVER (ORDER BY i) > 0
+                 THEN 1000000 * n_users
+                      // lag(n_users) OVER (ORDER BY i) END AS BIGINT)
          AS conversion_ppm
 FROM tiers
 """,

@@ -211,18 +211,22 @@ def funnel_stateful(events: DataFrame, steps) -> DataFrame:
         step_idx, anchor_us = state.get if state.exists else (0, -1)
         done = []
         if step_idx < n_steps:
-            for pdf in pdfs:
-                for _, row in pdf.sort_values("ts_us").iterrows():
-                    if step_idx >= n_steps:
+            # one group's micro-batch rows arrive as MULTIPLE Arrow chunks
+            # in shuffle order — sort the WHOLE batch once, not per chunk,
+            # or a later-chunk 'view' is evaluated after an earlier-chunk
+            # 'click' and the conversion is silently missed
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            for _, row in batch.sort_values("ts_us").iterrows():
+                if step_idx >= n_steps:
+                    break
+                if row["event_type"] == steps[step_idx] and (
+                    step_idx == 0 or int(row["ts_us"]) > anchor_us
+                ):
+                    anchor_us = int(row["ts_us"])
+                    step_idx += 1
+                    if step_idx == n_steps:
+                        done.append((user_id, anchor_us))
                         break
-                    if row["event_type"] == steps[step_idx] and (
-                        step_idx == 0 or int(row["ts_us"]) > anchor_us
-                    ):
-                        anchor_us = int(row["ts_us"])
-                        step_idx += 1
-                        if step_idx == n_steps:
-                            done.append((user_id, anchor_us))
-                            break
         state.update((step_idx, anchor_us))
         if done:
             yield pd.DataFrame(

@@ -71,6 +71,20 @@ def test_funnel_earliest_qualifying_time_carries_forward(spark):
     assert got["purchase"] == 1
 
 
+def test_funnel_zero_survivor_step_reports_null_not_error(spark):
+    """A step that kills everyone is a legitimate result: downstream rows
+    report 0 users with NULL conversion (undefined from an empty base),
+    never an ANSI divide-by-zero abort."""
+    ev = _events(spark, [("u1", "view", 1), ("u2", "view", 2)])
+    got = {
+        r["step"]: (r["n_users"], r["conversion_ppm"])
+        for r in funnel_counts(ev, ["view", "signup", "purchase"]).collect()
+    }
+    assert got["view"] == (2, 1_000_000)
+    assert got["signup"] == (0, 0)
+    assert got["purchase"] == (0, None)  # conversion from nobody: undefined
+
+
 def test_funnel_validates_steps(spark):
     ev = _events(spark, [("u", "view", 1)])
     with pytest.raises(ValueError):
