@@ -121,6 +121,7 @@ _R5_FRONT = (
     "cohort_retention",
     "corpus_datasheet",
     "join_size_estimate",
+    "event_rate_spikes",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1536,6 +1537,69 @@ def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "event_rate_spikes",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), r AS (
+  SELECT bucket, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt, bucket) AS rn,
+         COUNT(*) OVER () AS tot
+  FROM b
+), m AS (SELECT cnt AS med FROM r WHERE rn = (tot + 1) // 2)
+SELECT CAST(r.bucket AS BIGINT) AS bucket, r.cnt,
+       CAST(m.med AS BIGINT) AS med,
+       CAST(CASE WHEN 2 * r.cnt > 3 * m.med THEN 1 ELSE 0 END AS BIGINT)
+         AS is_spike
+FROM r, m
+""",
+)
+def event_rate_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rate anomaly report: hourly event counts flagged against the
+    EXACT low-median baseline (cnt > 1.5x median, all-integer compare —
+    2*cnt > 3*med — no float thresholds).  The crawler-ops question "did
+    an hour spike" answered deterministically: the hour bucket is integer
+    epoch-microsecond division (timestamp-parity convention), the median
+    is the rank-(n+1)/2 element of the BUCKET table — bounded by elapsed
+    hours, not events, so its single-partition rank window is bounded by
+    construction (same rule as skew_report's rank stage); the corpus-
+    sized work is one partial-agg'd groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("cnt", "bucket")
+    ranked = buckets.withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("tot", F.count("*").over(Window.partitionBy()))
+    med = (
+        ranked.filter(F.col("rn") == F.expr("(tot + 1) div 2"))
+        .select(F.col("cnt").cast("long").alias("med"))
+    )
+    return (
+        buckets.crossJoin(F.broadcast(med))
+        .withColumn(
+            "is_spike",
+            F.when(2 * F.col("cnt") > 3 * F.col("med"), 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "cnt", "med", "is_spike",
+        )
+    )
 
 
 @register(
