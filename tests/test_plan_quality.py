@@ -153,6 +153,20 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_q5_broadcasts_all_dimensions(spark):
+    """TPC-H Q5 shape: every dimension side (region, nation, supplier,
+    customer) broadcasts; the same-nation predicate lives inside a join
+    condition, never a cross product; at most the orders-lineitem
+    fact-fact edge may sort-merge at scale."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["q5_local_supplier_volume"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
 def test_pagerank_plan_is_topk_without_cross_product(spark):
     """supplier_pagerank: the per-round joins are hash joins on the edge
     key (never a cross product), and the final top-20 is
