@@ -123,6 +123,7 @@ _R5_FRONT = (
     "join_size_estimate",
     "event_rate_spikes",
     "q5_local_supplier_volume",
+    "q17_small_quantity_revenue",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1190,6 +1191,52 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_orders
+FROM lineitem JOIN pp USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * c < s
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the DECORRELATED scalar subquery: "lineitems
+    whose quantity is below 20% of their part's average".  The naive form
+    re-computes a correlated per-part average per row; the scale form
+    computes the per-part (sum, count) ONCE (partial-agg'd, part-table
+    sized) and broadcasts it back onto the fact, so the threshold filter
+    runs map-side.  The 0.2x-average compare is kept EXACT by clearing
+    the division: 5*qty*cnt < sum in DECIMAL — no float threshold, no
+    per-row divide.  One fact shuffle (the per-part agg); the revenue
+    total is a single-row aggregate."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(5 * dec("l_quantity") * F.col("c") < F.col("s"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_small_orders"),
+        )
     )
 
 
