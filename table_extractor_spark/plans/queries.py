@@ -124,6 +124,7 @@ _R5_FRONT = (
     "event_rate_spikes",
     "q5_local_supplier_volume",
     "q17_small_quantity_revenue",
+    "curriculum_buckets",
 )
 
 # Queries hash-green in the driver's CORRECTNESS_r04.json ledger (the
@@ -1722,6 +1723,82 @@ def event_rate_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("bucket").cast("long").alias("bucket"),
             "cnt", "med", "is_spike",
+        )
+    )
+
+
+@register(
+    "curriculum_buckets",
+    oracle="""
+WITH h AS (
+  SELECT n_chars // 8 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER () AS n_total
+  FROM h
+), p AS (
+  SELECT unnest([100000, 200000, 300000, 400000, 500000,
+                 600000, 700000, 800000, 900000]) AS p_ppm
+), br AS (
+  SELECT p_ppm, MIN(bin) * 8 + 7 AS est_hi
+  FROM c, p
+  WHERE cum * 1000000 >= p_ppm * n_total
+  GROUP BY p_ppm
+), a AS (
+  SELECT d.doc_id, d.n_chars,
+         1 + (SELECT COUNT(*) FROM br WHERE br.est_hi < d.n_chars)
+           AS bucket
+  FROM documents d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM a GROUP BY bucket
+""",
+)
+def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing WITHOUT a global sort: docs assigned to ~decile
+    length buckets by comparing n_chars to boundaries derived from the
+    bounded histogram sketch — the range-partitioner pattern (boundaries
+    from a summary, assignment map-side), where the naive NTILE form
+    would drag the whole corpus through one ordering partition.  The nine
+    decile boundaries broadcast as ONE array row; each doc's bucket is
+    1 + count(boundaries < n_chars) via a map-side array filter.  Bucket
+    populations are decile-approximate (bracket-rounded — the honest
+    sketch trade, bounded by bin_width); boundaries and assignment are
+    bit-deterministic, so the oracle replays histogram, brackets, and
+    every assignment."""
+    from ..operators.sketches import histogram_quantile_brackets, histogram_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = histogram_sketch(
+        docs.select(F.col("n_chars").alias("val")), bin_width=8
+    )
+    probs = [p * 100_000 for p in range(1, 10)]
+    bounds = (
+        histogram_quantile_brackets(hist, probs, bin_width=8)
+        .agg(F.array_sort(F.collect_list("est_hi")).alias("bs"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                1
+                + F.size(
+                    F.filter("bs", lambda b: b < F.col("n_chars"))
+                )
+            )
+            .cast("long")
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
 
