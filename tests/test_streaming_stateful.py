@@ -301,3 +301,32 @@ def test_stream_funnel_matches_batch_and_survives_restart(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         funnel_stateful(all_events, [])
+
+
+def test_stream_funnel_sorts_across_arrow_chunks(spark, tmp_path):
+    """The review-found bug scenario: a user's micro-batch events split
+    across MULTIPLE Arrow chunks with a later step's event arriving in an
+    EARLIER chunk.  Per-chunk sorting would consume the click before ever
+    seeing the view and silently miss the conversion; the whole-batch
+    sort must complete it."""
+    from table_extractor_spark.streaming.stateful import funnel_stateful
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("cin", "cout", "cckpt"))
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        # file order: click BEFORE view -> with 1-row Arrow chunks the
+        # click's chunk is delivered first
+        _write_batch(spark, inp, [
+            (_mins(6), "u1", "click", 1.0),
+            (_mins(5), "u1", "view", 1.0),
+        ])
+        _drain(spark, inp, out, ckpt,
+               lambda s: funnel_stateful(s, ["view", "click"]))
+        got = spark.read.parquet(out).collect()
+        assert [(r["user_id"],) for r in got] == [("u1",)]
+        assert got[0]["completed_at_us"] == 1704110760000000  # 12:06
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", saved
+        )
