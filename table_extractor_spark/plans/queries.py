@@ -45,8 +45,57 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # The driver checks at most the FIRST 50 entries of queries() per round.
-# Round-5 window policy (pure presentation ordering — registration order and
+# Round-6 window policy (pure presentation ordering — registration order and
 # query semantics are untouched):
+#   1. _R6_QUEUE: the 11 queries registered in r5 past the full window —
+#      locally green in both gate modes at two SFs but with no driver row
+#      yet (VERDICT r5 next #1).  q5/q17 enter only after the forced
+#      broadcasts of their linearly-growing sides were dropped (VERDICT r5
+#      next #2) so their first ledger rows land green-and-right at once.
+#   2. the 37 rows whose latest driver green is the r3 ledger (VERDICT r5
+#      next #3) — by r7 nothing should be older than r4.
+#   3. two flagship extraction rows (extract_synthetic, emit_triples) fill
+#      the remaining slots so the core kernel path gets a fresh row.
+# Everything else follows stale-first (r4-ledgered before r5-ledgered) so
+# the r7 rotation is already sequenced.  CORRECTNESS_r05 came back 50/50
+# green, so the probe battery vacates the window (stays registered as the
+# bisection tool).
+_R6_QUEUE = (
+    "quality_classifier",
+    "supplier_pagerank",
+    "chunk_documents",
+    "event_funnel",
+    "cohort_retention",
+    "corpus_datasheet",
+    "join_size_estimate",
+    "event_rate_spikes",
+    "q5_local_supplier_volume",
+    "q17_small_quantity_revenue",
+    "curriculum_buckets",
+)
+
+# Queries whose latest driver green is the r3 ledger (three rounds stale
+# by r6) — computed from CORRECTNESS_r01..r05: green in r3, absent from
+# the r4 and r5 windows.
+_R3_STALE = (
+    "order_preservation", "scalar_text_cleanup", "float_typing",
+    "uri_tail_split", "dedup_exact", "lsh_buckets", "lsh_candidate_pairs",
+    "dedup_simhash", "embedding_cosine_topk", "embedding_near_dup_pairs",
+    "lang_id", "quality_score", "token_count", "media_metadata",
+    "media_byte_histogram", "emit_triples_probed", "asof_join_next_error",
+    "url_canonical_dedup", "resource_list", "minhash_signatures",
+    "lsh_incremental_pairs", "doc_fingerprint", "repetition_filters",
+    "boilerplate_strip", "pii_redaction", "curation_filter", "top_ngrams",
+    "sequence_packing", "domain_mix_sample", "deterministic_split",
+    "stratified_sample", "decontamination_report", "rare_word_rank_score",
+    "media_resize_plan", "media_frame_sample", "pdf_page_extract",
+    "media_embedding_topk",
+)
+
+_R6_FRONT = _R6_QUEUE + _R3_STALE + ("extract_synthetic", "emit_triples")
+
+# Round-5 window policy (superseded by _R6_FRONT; kept because the r5
+# ledger documents exactly this ordering):
 #   1. _R5_FRONT: (a) the four r4-red queries, re-oracled with the HUGEINT
 #      root-cause fix (CAST integer-sum outputs to BIGINT — see the note at
 #      _PARA_DEDUP_ORACLE); (b) the new bpe_encode query; (c) the probe
@@ -154,6 +203,33 @@ _DRIVER_LEDGERED_R04 = frozenset(
     }
 )
 
+# Queries hash-green in the driver's CORRECTNESS_r05.json ledger (the
+# freshest rows — ordered LAST by the r6 policy so r4 rows rotate first).
+_DRIVER_LEDGERED_R05 = frozenset(
+    {
+        "asof_join_latest_error", "bloom_dedup_prefilter", "bm25_topk",
+        "bpe_encode", "bpe_fertility_by_lang", "bpe_merges",
+        "bpe_pair_counts", "bpe_roundtrip", "countmin_frequency_estimates",
+        "cut_duplicate_passages", "distinct_header_inventory",
+        "doc_length_quantile_sketch", "doc_length_quantiles_by_lang",
+        "duplicate_passages", "frequent_trigrams_screen",
+        "fuzzy_decontamination", "header_latch", "hll_distinct_estimate",
+        "hll_intersection_estimate", "hll_registers", "hll_vocab_by_lang",
+        "ontology_label_probe", "packing_efficiency", "paragraph_dedup",
+        "pivot_event_types", "probe_char_split", "probe_chunk_hash",
+        "probe_corpus_sums", "probe_first_occurrence",
+        "probe_literal_specials", "probe_packing_order",
+        "probe_para_reassembly", "probe_shard_payload_hash",
+        "probe_word_tokens", "range_join_value_bands",
+        "running_column_sums", "section_fill_down", "section_fuzzy_merge",
+        "sessionization", "shard_assembly", "simhash_hamming_pairs",
+        "skew_report", "summary_row_filter", "table_linearize",
+        "tfidf_top_terms", "top_k_per_group", "unimax_allocation",
+        "winnowing_fingerprints", "winnowing_overlap_pairs",
+        "zip_join_positional",
+    }
+)
+
 # Queries hash-green in the driver's CORRECTNESS_r02.json ledger.
 _DRIVER_LEDGERED_R02 = frozenset(
     {
@@ -181,13 +257,15 @@ _DRIVER_LEDGERED_R02 = frozenset(
 
 
 def _ordered_registry() -> List[Tuple[str, Callable, Optional[str]]]:
-    front_set = set(_R5_FRONT)
+    front_set = set(_R6_FRONT)
     by_name = {e[0]: e for e in _REGISTRY}
-    front = [by_name[n] for n in _R5_FRONT if n in by_name]
+    front = [by_name[n] for n in _R6_FRONT if n in by_name]
     rest = [e for e in _REGISTRY if e[0] not in front_set]
-    stale3 = [e for e in rest if e[0] not in _DRIVER_LEDGERED_R04]
-    fresh4 = [e for e in rest if e[0] in _DRIVER_LEDGERED_R04]
-    return front + stale3 + fresh4
+    # stale-first behind the window: r4-ledgered rows (two rounds stale by
+    # r7) rotate before r5-fresh ones
+    stale4 = [e for e in rest if e[0] not in _DRIVER_LEDGERED_R05]
+    fresh5 = [e for e in rest if e[0] in _DRIVER_LEDGERED_R05]
+    return front + stale4 + fresh5
 
 
 def queries() -> Dict[str, Callable]:
@@ -1142,13 +1220,17 @@ ORDER BY revenue DESC, n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — the six-table join: revenue by nation where the
     CUSTOMER and the SUPPLIER sit in the same nation of one region, over a
-    two-year order window.  The multi-join planning showcase: region,
-    nation, supplier, and the date-filtered customer side are all
-    dimension-sized and broadcast; lineitem (the fact) is the only side
-    that shuffles, and only for the final per-nation aggregation.  The
-    same-nation predicate rides INSIDE the supplier join condition, never
-    as a post-join filter over a wider cross product.  Decimal-exact
-    revenue per the engine's money policy, rounded double at the surface."""
+    two-year order window (the date filter prunes ORDERS, map-side).  The
+    multi-join planning showcase: region, nation, and supplier are truly
+    dimension-sized (bounded / sub-linear in scale factor) and carry
+    explicit broadcast hints; CUSTOMER grows linearly with the fact
+    (~2.5% of lineitem rows in TPC-H), so it gets NO forced hint — AQE +
+    autoBroadcastJoinThreshold picks a broadcast join at small SF and
+    degrades gracefully to a shuffle join at the 100-TB target, where a
+    forced broadcast would OOM the driver.  The same-nation predicate
+    rides INSIDE the supplier join condition, never as a post-join filter
+    over a wider cross product.  Decimal-exact revenue per the engine's
+    money policy, rounded double at the surface."""
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA"
@@ -1175,7 +1257,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
@@ -1216,9 +1298,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose quantity is below 20% of their part's average".  The naive form
     re-computes a correlated per-part average per row; the scale form
     computes the per-part (sum, count) ONCE (partial-agg'd, part-table
-    sized) and broadcasts it back onto the fact, so the threshold filter
-    runs map-side.  The 0.2x-average compare is kept EXACT by clearing
-    the division: 5*qty*cnt < sum in DECIMAL — no float threshold, no
+    sized) and joins it back onto the fact, so the threshold filter runs
+    right at the join.  The aggregate is part-table sized — LINEAR in
+    scale factor (~3% of lineitem rows in TPC-H) — so it carries NO
+    forced broadcast hint: AQE picks a broadcast join while it fits and a
+    sort-merge join at the 100-TB target, where forcing the hint would
+    OOM.  The 0.2x-average compare is kept EXACT by clearing the
+    division: 5*qty*cnt < sum in DECIMAL — no float threshold, no
     per-row divide.  One fact shuffle (the per-part agg); the revenue
     total is a single-row aggregate."""
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -1230,7 +1316,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("c"),
     )
     return (
-        li.join(F.broadcast(per_part), "l_partkey")
+        li.join(per_part, "l_partkey")
         .filter(5 * dec("l_quantity") * F.col("c") < F.col("s"))
         .agg(
             F.round(

@@ -154,17 +154,36 @@ def test_aqe_splits_skewed_join(spark):
 
 
 def test_q5_broadcasts_all_dimensions(spark):
-    """TPC-H Q5 shape: every dimension side (region, nation, supplier,
-    customer) broadcasts; the same-nation predicate lives inside a join
-    condition, never a cross product; at most the orders-lineitem
-    fact-fact edge may sort-merge at scale."""
+    """TPC-H Q5 shape: the BOUNDED dimension sides (region, nation,
+    supplier) broadcast via explicit hints; customer grows linearly with
+    scale factor so it must NOT be forced — at test SF the optimizer's
+    autoBroadcastJoinThreshold still picks a broadcast join for it, while
+    at the 100-TB target AQE degrades it to a shuffle join instead of
+    OOMing on a forced hint.  The same-nation predicate lives inside a
+    join condition, never a cross product."""
     from table_extractor_spark.plans import queries as Q
 
     plan = formatted(Q.queries()["q5_local_supplier_volume"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
-    assert plan.count("SortMergeJoin") <= 1, plan
+    # the linearly-growing sides (customer, orders-lineitem edge) may
+    # sort-merge; what matters is that no forced hint pins them broadcast
+    src = __import__("inspect").getsource(Q.q5_local_supplier_volume)
+    assert "broadcast(cust" not in src, "customer must not be force-broadcast"
+
+
+def test_q17_per_part_agg_not_force_broadcast(spark):
+    """TPC-H Q17 shape: the per-part aggregate is part-table sized
+    (linear in SF) — no forced broadcast hint; the plan stays
+    cross-product-free either way."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["q17_small_quantity_revenue"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    src = __import__("inspect").getsource(Q.q17_small_quantity_revenue)
+    assert "broadcast(per_part" not in src, "per-part agg must not be force-broadcast"
 
 
 def test_pagerank_plan_is_topk_without_cross_product(spark):

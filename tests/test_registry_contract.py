@@ -23,44 +23,61 @@ def _repo_file(name):
     )
 
 
-def test_r5_window_covers_must_reverify_queries():
-    """The driver checks at most the first 50 queries() entries; the r5
-    window must lead with the four formerly-red queries (HUGEINT-cast
-    oracle fix), the new bpe_encode row, the divergence probe battery,
-    and the 13 rows whose latest green is still the r2 ledger — then the
-    remaining slots re-sample the stalest (r3) rows, with r4-fresh rows
-    last."""
+def test_r6_window_leads_with_queue_then_r3_stale():
+    """The driver checks at most the first 50 queries() entries; the r6
+    window (VERDICT r5 next #1/#3) must lead with the 11-query queue
+    (first driver rows ever), then the 37 rows whose latest green is the
+    r3 ledger, then two flagship extraction rows — exactly 50.  Behind
+    the window, r4-ledgered rows rotate before r5-fresh ones so the r7
+    window is already sequenced."""
     names = list(Q.queries())
     window = names[:50]
-    assert list(names[: len(Q._R5_FRONT)]) == list(Q._R5_FRONT)
-    # the four r4 reds lead, their probes are all inside the window
-    for must in (
-        "bpe_pair_counts", "bpe_merges", "shard_assembly",
-        "paragraph_dedup", "bpe_encode", "bpe_roundtrip",
-    ):
-        assert must in window
-    probes = [n for n in names if n.startswith("probe_")]
-    assert set(probes) <= set(window), "every probe must get a driver row"
-    # the 13 r2-stale rows are all re-sampled this round
-    r2_stale_front = [
-        n for n in Q._R5_FRONT if n in Q._DRIVER_LEDGERED_R02
-    ]
-    assert len(r2_stale_front) == 13
-    # every registered query is ledgered somewhere or in the front
+    assert len(Q._R6_FRONT) == 50
+    assert list(window) == list(Q._R6_FRONT)
+    # the queue leads: 11 first-driver-row queries
+    assert list(window[:11]) == list(Q._R6_QUEUE)
+    r5 = {
+        k for k, v in json.load(
+            open(_repo_file("CORRECTNESS_r05.json"))
+        ).items()
+        if v.get("rows_match") and v.get("schema_match")
+        and v.get("hash_match") and not v.get("err")
+    }
+    assert r5 == set(Q._DRIVER_LEDGERED_R05)
+    for n in Q._R6_QUEUE:
+        assert n not in r5 and n not in Q._DRIVER_LEDGERED_R04, (
+            f"{n} already has a driver row; queue slot wasted"
+        )
+    # the r3-stale cohort: green in r3, absent from the r4 and r5 windows
     r3 = set(json.load(open(_repo_file("CORRECTNESS_r03.json"))))
-    r4 = set(json.load(open(_repo_file("CORRECTNESS_r04.json"))))
-    known = (
-        set(Q._R5_FRONT) | set(Q._DRIVER_LEDGERED_R02) | r3 | r4
-        | set(probes)
+    for n in Q._R3_STALE:
+        assert n in r3
+        assert n not in Q._DRIVER_LEDGERED_R04 and n not in r5, (
+            f"{n} is fresher than r3; it must not occupy a rotation slot"
+        )
+    # nothing r3-stale sits outside the window
+    all_stale = {
+        n for n in names
+        if n in r3 and n not in Q._DRIVER_LEDGERED_R04 and n not in r5
+    }
+    assert all_stale <= set(window), (
+        f"r3-stale rows outside the window: {sorted(all_stale - set(window))}"
     )
+    # behind the window: r4 rows (stalest remaining) before r5-fresh rows
+    tail = names[50:]
+    seen_r5 = False
+    for n in tail:
+        if n in Q._DRIVER_LEDGERED_R05:
+            seen_r5 = True
+        else:
+            assert not seen_r5, (
+                f"{n} (r4-stale) ordered after an r5-fresh row"
+            )
+    # every registered query is ledgered somewhere or in the window
+    r4 = set(json.load(open(_repo_file("CORRECTNESS_r04.json"))))
+    known = set(Q._R6_FRONT) | r3 | r4 | r5 | set(Q._DRIVER_LEDGERED_R02)
     missing = [n for n in names if n not in known]
     assert missing == [], f"queries with no driver row ever: {missing}"
-    # remaining window slots re-sample the stalest rows first: nothing
-    # r4-fresh may occupy a slot while an r3-stale query sits outside
-    for n in window[len(Q._R5_FRONT):]:
-        assert n not in Q._DRIVER_LEDGERED_R04, (
-            f"{n} is r4-fresh but occupies a re-sample slot"
-        )
 
 
 def test_no_hugeint_oracle_outputs():
