@@ -321,7 +321,17 @@ def bm25_topk(
     postings; N and T are a 1-row broadcast; the final top-k is
     TakeOrderedAndProject (per-partition heads + driver merge), never a
     global sort.  Ties break on doc_id, so the returned set is total.
+
+    The persisted posting table is the session's inverted index; call
+    ``df.sparkSession.catalog.clearCache()`` (or ``unpersist`` the
+    returned plan's cached ancestor) between unrelated corpora to release
+    it — repeated calls over the SAME docs reuse one cache entry.
     """
+    if not query_terms:
+        raise ValueError(
+            "bm25_topk needs at least one query term "
+            "(an empty query matches nothing)"
+        )
     spark = docs.sparkSession
     wds = docs.select(
         F.col(id_col),

@@ -16,14 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# the single engine-wide definition lives in functions.hashing; re-exported
+# here because most dedup/contamination/text callers import it from this
+# module — a second body would silently fork the Spark/DuckDB parity contract
+from ..functions.hashing import hash60  # noqa: F401
+
 MINHASH_P = 2147483647  # 2^31 - 1; h < 2^31 keeps a*h+b within int64
 DEFAULT_PERMS = 16
 DEFAULT_BAND_ROWS = 4
-
-
-def hash60(col) -> F.Column:
-    """Deterministic 60-bit hash of a string column (shared with DuckDB)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def word_shingles(text_col, k: int = 3) -> F.Column:

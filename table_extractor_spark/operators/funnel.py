@@ -40,9 +40,13 @@ def cohort_retention(
     """(cohort_period, period_offset, n_users, cohort_size, retention_ppm):
     the classic cohort-retention matrix — users bucketed by the period of
     their FIRST event, each later period reporting how many of them were
-    active again.  Periods are integer divisions of epoch microseconds
-    (the engine's timestamp-parity convention), so both engines bucket
-    identically with no calendar/timezone functions involved.
+    active again.  Periods are integer FLOOR divisions of epoch
+    microseconds (the engine's timestamp-parity convention), so both
+    engines bucket identically with no calendar/timezone functions
+    involved.  Floor semantics matter for pre-1970 timestamps: Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, so the
+    bucket expression subtracts ``pmod`` first — the dividend becomes
+    exactly divisible and the two semantics coincide for any sign.
 
     Shape: one per-user min (partial-agg'd), one user-key join back to
     the events (co-partitioned with the groupBys that follow), one
@@ -61,7 +65,10 @@ def cohort_retention(
         .agg(F.min(us).alias("__first_us"))
         .select(
             user_col,
-            F.expr(f"__first_us div {period_us}")
+            F.expr(
+                f"(__first_us - pmod(__first_us, {period_us}))"
+                f" div {period_us}"
+            )
             .cast("long")
             .alias("cohort_period"),
         )
@@ -72,7 +79,12 @@ def cohort_retention(
         .select(
             user_col,
             "cohort_period",
-            (F.expr(f"__us div {period_us}") - F.col("cohort_period"))
+            (
+                F.expr(
+                    f"(__us - pmod(__us, {period_us})) div {period_us}"
+                )
+                - F.col("cohort_period")
+            )
             .cast("long")
             .alias("period_offset"),
         )

@@ -73,6 +73,11 @@ def chunk_documents(
     padding is the packer's concern); ``chunk_hash`` is the md5 of the
     chunk text so the full payload never has to travel for audits.
 
+    Tokens are NON-EMPTY whitespace tokens — doubled/trailing spaces do
+    not count — matching the token accounting used by the dedup, BM25,
+    and UniMax operators (a raw ``split`` would count empty strings and
+    make chunk ``n_tokens`` disagree with the rest of the pipeline).
+
     Shape: chunk boundaries are pure per-row integer arithmetic over the
     token array (sequence -> transform -> explode), all JVM expressions —
     ZERO shuffles regardless of corpus size, and deterministic in any
@@ -83,7 +88,7 @@ def chunk_documents(
         raise ValueError(
             f"stride {stride} > seq_len {seq_len} would skip tokens"
         )
-    toks = F.split(F.col(text_col), " ")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n = F.size(toks)
     # windows start every `stride` tokens; the last start is the smallest
     # multiple of stride with start + seq_len >= n, so the tail is covered:

@@ -1783,8 +1783,12 @@ def event_rate_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     buckets = (
         ev.select(
+            # floor-div (not div's truncate-toward-zero) so pre-1970
+            # timestamps bucket identically to DuckDB's `//`
             F.expr(
-                "unix_micros(cast(ts as timestamp)) div 3600000000"
+                "(unix_micros(cast(ts as timestamp))"
+                " - pmod(unix_micros(cast(ts as timestamp)), 3600000000))"
+                " div 3600000000"
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -4410,8 +4414,8 @@ def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     oracle="""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS w,
-         len(string_split(text, ' ')) AS n
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
   FROM documents
 ), c AS (
   SELECT doc_id, w, n,

@@ -435,3 +435,35 @@ def test_chunk_documents_is_shuffle_free_and_validated(spark):
         chunk_documents(df, seq_len=4, stride=5)  # would skip tokens
     with pytest.raises(ValueError):
         chunk_documents(df, seq_len=0, stride=1)
+
+
+def test_chunk_documents_ignores_empty_tokens(spark):
+    """Doubled/trailing spaces must not count as tokens — chunk n_tokens
+    follows the same non-empty-token accounting as dedup/BM25/UniMax, and
+    the chunk payload hash is over the FILTERED token slice."""
+    import hashlib
+
+    from table_extractor_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [("d", "a  b   c "), ("clean", "a b c")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: (r.chunk_idx, r.start_token, r.n_tokens, r.chunk_hash)
+        for r in chunk_documents(df, seq_len=4, stride=3).collect()
+    }
+    h = hashlib.md5(b"a b c").hexdigest()
+    assert rows["d"] == (0, 0, 3, h)
+    # whitespace-normalized text chunks identically to clean text
+    assert rows["d"] == rows["clean"]
+
+
+def test_bm25_topk_rejects_empty_query(spark):
+    import pytest
+
+    from table_extractor_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="query term"):
+        bm25_topk(df, [])

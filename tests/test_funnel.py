@@ -141,3 +141,29 @@ def test_cohort_retention_validates_period(spark):
     ev = _events(spark, [("u", "view", 1)])
     with pytest.raises(ValueError):
         cohort_retention(ev, period_us=0)
+
+
+def test_cohort_retention_floor_divides_pre_epoch_timestamps(spark):
+    """Pre-1970 timestamps have NEGATIVE epoch micros; the period bucket
+    must FLOOR (DuckDB's // semantics), not truncate toward zero (Spark's
+    div) — otherwise the two engines disagree and offsets can go negative.
+    One user first seen a day before the epoch, active again 8 days later:
+    with weekly periods the cohort is period -1 and the offset is +2
+    (floor), never 0/-something (truncate)."""
+    from datetime import datetime
+
+    from table_extractor_spark.operators.funnel import cohort_retention
+
+    ev = spark.createDataFrame(
+        [
+            ("u", "view", datetime(1969, 12, 31)),
+            ("u", "view", datetime(1970, 1, 8)),
+        ],
+        "user_id string, event_type string, ts timestamp",
+    )
+    rows = {
+        (r.cohort_period, r.period_offset): (r.n_users, r.retention_ppm)
+        for r in cohort_retention(ev).collect()
+    }
+    # floor(-86400e6 / week) = -1; floor(7*86400e6 / week) = 1 -> offset 2
+    assert rows == {(-1, 0): (1, 1000000), (-1, 2): (1, 1000000)}
