@@ -87,21 +87,24 @@ def main() -> None:
     warm_out.count()
 
     timings = {}
+    raw_runs = {}
     docs = 0
     docs_elapsed = 0.0
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in HEADLINE:
         fn = registry[name]
-        best = None
+        runs = []
         # best-of-N: the first run pays one-time codegen/JIT compilation of
         # the plan (seconds for the md5-heavy trees); steady-state is what a
-        # long-running cluster job sees
+        # long-running cluster job sees.  The raw runs ride along so a
+        # noisy-box round is diagnosable from the payload itself (the r5
+        # ledger caught a cold reading that looked like a 30% regression).
         for _ in range(reps):
             t0 = time.monotonic()
             fn(spark, SF_DIR).count()
-            dt = time.monotonic() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            runs.append(round(time.monotonic() - t0, 3))
+        raw_runs[name] = runs
+        timings[name] = min(runs)
         if name == "extract_metrics_report":
             # throughput over the full kernel pipeline (parse every doc once)
             from table_extractor_spark.sources.tables import (
@@ -109,7 +112,7 @@ def main() -> None:
             )
 
             docs = synthesize_docs_from_testdata(spark, SF_DIR).count()
-            docs_elapsed = best
+            docs_elapsed = timings[name]
 
     # headline throughput at REFERENCE document weight (the baseline's
     # 0.65 docs/s is over real wiki pages; the sf tables above are
@@ -156,6 +159,11 @@ def main() -> None:
         "docs_per_sec": round(heavy_docs / heavy_best, 2) if heavy_best else None,
         "docs_per_sec_light": round(docs / docs_elapsed, 2) if docs_elapsed else None,
         "reference_docs_per_sec": 0.65,
+        # steady-state suite wall: sum of per-query best-of-3 (equals
+        # "value" at the default reps).  null if reps were overridden < 3.
+        "value_best_of_3": total if reps >= 3 else None,
+        "reps": reps,
+        "queries_raw": raw_runs,
     }
     print(json.dumps(result))
     spark.stop()
