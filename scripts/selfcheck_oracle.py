@@ -6,7 +6,13 @@ For each ``queries()[name]``:
   * compare row count, column-name set, and an order-insensitive value hash
     (columns sorted by name, every value normalized to a string, rows sorted).
 
-Usage: python3 scripts/selfcheck_oracle.py [--pandas] [name ...]
+Usage: python3 scripts/selfcheck_oracle.py [--pandas] [--sf DIR] [name ...]
+
+``--sf DIR`` points both engines at another scale factor's parquet
+directory (equivalent to SPARK_GRAFT_SF_DIR=DIR).  Positional names
+restrict the run; a name matching NO registered query aborts loudly —
+a silent zero-query run once reported "all queries match" for a typo'd
+flag value, which is exactly the false green this guard exists to kill.
 
 ``--pandas`` switches to the fetch path a typical driver harness uses —
 DuckDB ``rel.df()`` (pandas) instead of ``fetchall()``, and a NAIVE
@@ -92,8 +98,18 @@ def frame_fingerprint(cols, rows, norm=norm_value):
 
 
 def main():
+    global SF_DIR
     args = sys.argv[1:]
     pandas_mode = "--pandas" in args
+    if "--sf" in args:
+        i = args.index("--sf")
+        try:
+            SF_DIR = args[i + 1]
+        except IndexError:
+            sys.exit("--sf needs a directory argument")
+        if not os.path.isdir(SF_DIR):
+            sys.exit(f"--sf: no such directory {SF_DIR!r}")
+        del args[i:i + 2]
     only = set(a for a in args if not a.startswith("--"))
     norm = naive_norm if pandas_mode else norm_value
     import __spark_entry__ as entry
@@ -110,6 +126,12 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {sorted(unknown)} — refusing to run "
+            "a silently-empty check"
+        )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
