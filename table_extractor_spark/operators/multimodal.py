@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so REAL decoding is stubbed exactly
-as the build brief prescribes: ``decode_real`` raises ``NotImplementedError``
-unless PIL is importable, and the pipeline runs on a deterministic fake
-container format instead.  Everything AROUND the decode — schemas, Arrow
-batch shape, mapInPandas signatures, partitioning — is real and tested.
+The container ships no codec LIBRARIES (no PIL/cv2), so the gate is:
+``decode_real`` uses PIL when importable, falls back to the built-in
+stdlib PNG codec (``decode_png`` — written from the public PNG spec,
+zlib + struct only) for PNG streams, and raises ``NotImplementedError``
+for formats that genuinely need an external codec (JPEG/WebP/video).
+The deterministic IMG1 fake container remains the oracle-parity path for
+driver queries; ``decode_metadata_real`` / ``pixel_histogram_features``
+are the real-codec twins running the identical Spark plumbing.
+Everything AROUND the decode — schemas, Arrow batch shape, mapInPandas
+signatures, partitioning — is shared between both paths and tested.
 
 Fake container format (deterministic, synthesizable in pure SQL so DuckDB
 can oracle-check the plumbing)::
@@ -40,23 +45,162 @@ FEATURE_SCHEMA = (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+alpha, RGBA
+
+
+def decode_png(content: bytes):
+    """REAL image decode, stdlib only (zlib + struct), written from the
+    public PNG specification (W3C PNG / RFC 2083): 8-bit-depth greyscale /
+    RGB / grey+alpha / RGBA, non-interlaced, all five scanline filters
+    (None, Sub, Up, Average, Paeth).  Returns ``(width, height, channels,
+    pixels)`` with ``pixels`` the unfiltered samples, row-major bytes.
+
+    Anything outside that envelope (palette, 16-bit, interlaced, torn
+    stream, bad CRC length fields) raises ``ValueError`` — callers route
+    those rows to the ``valid=False`` channel rather than killing a task.
+    The per-row unfilter loop is sequential by spec (filters reference the
+    left/up neighbor of the RECONSTRUCTED stream), so this is a small-blob
+    codec: fine for thumbnails/validation at Arrow-batch granularity; a
+    production pipeline swaps in a C codec behind the same signature."""
+    import struct
+    import zlib
+
+    b = bytes(content)
+    if not b.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = len(PNG_MAGIC), None, []
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("torn chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                bb = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, ch, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes,
+               filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (the deterministic synthesizer for fixtures and
+    the round-trip differential in tests): 8-bit, color type from channel
+    count, one filter type applied to every row so each decoder filter
+    path is exercisable."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer size mismatch")
+    rows = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        rows.append(filter_type)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            bb = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if filter_type == 0:
+                v = line[i]
+            elif filter_type == 1:
+                v = (line[i] - a) & 0xFF
+            elif filter_type == 2:
+                v = (line[i] - bb) & 0xFF
+            elif filter_type == 3:
+                v = (line[i] - ((a + bb) >> 1)) & 0xFF
+            elif filter_type == 4:
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                v = (line[i] - pred) & 0xFF
+            else:
+                raise ValueError(f"unknown filter type {filter_type}")
+            rows.append(v)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_real(content: bytes):
-    """Actual image decode — unavailable in this container (no codec libs).
-
-    Gated behind an import-try per the environment contract; the fake-format
-    path below exercises the identical Spark plumbing."""
+    """Actual image decode: PIL when importable, else the built-in
+    stdlib PNG codec above for PNG streams; every other format raises
+    ``NotImplementedError`` (this container ships no JPEG/WebP codec).
+    Returns ``(width, height, channels, pixels)``."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no PIL in this container
+        import io
+
+        from PIL import Image  # pragma: no cover - no PIL in this container
+    except ImportError:
+        if bytes(content).startswith(PNG_MAGIC):
+            return decode_png(content)
         raise NotImplementedError(
-            "real image decoding needs PIL/pillow, not present in this "
-            "environment; use the IMG1 fake-container path"
-        ) from exc
-    import io
-
-    from PIL import Image
-
-    return Image.open(io.BytesIO(content))  # pragma: no cover
+            "real decoding of non-PNG formats needs PIL/pillow, not "
+            "present in this environment; PNG decodes via the stdlib "
+            "codec, and the IMG1 fake-container path covers the rest"
+        )
+    img = Image.open(io.BytesIO(content))  # pragma: no cover
+    return (  # pragma: no cover
+        img.width, img.height, len(img.getbands()), img.tobytes()
+    )
 
 
 def parse_fake_header(content) -> tuple:
@@ -122,6 +266,77 @@ def byte_histogram_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataF
                     continue
                 payload = np.frombuffer(bytes(c).split(b":", 3)[3], dtype="uint8")
                 hists.append(np.bincount(payload % bins, minlength=bins))
+            stacked = (
+                np.stack(hists) if hists else np.zeros((0, bins), dtype="int64")
+            )
+            for i in range(bins):
+                out[f"h{i}"] = stacked[:, i]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def decode_metadata_real(media: DataFrame) -> DataFrame:
+    """The REAL-codec twin of ``decode_metadata``: PNG blobs decode through
+    ``decode_real`` (stdlib codec, or PIL when present) into typed
+    metadata; anything undecodable yields ``valid=False`` with zeroed
+    metadata — poison blobs never kill a task.  Same META_SCHEMA, same
+    single-mapInPandas shape, so swapping fake for real costs no plan
+    change."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, nbytes, valids = [], [], [], [], []
+            for c in pdf["content"]:
+                try:
+                    w, h, _, _ = decode_real(bytes(c))
+                    fmts.append("PNG")
+                    ws.append(w)
+                    hs.append(h)
+                    nbytes.append(len(bytes(c)))
+                    valids.append(True)
+                except (NotImplementedError, ValueError, TypeError):
+                    fmts.append("")
+                    ws.append(0)
+                    hs.append(0)
+                    nbytes.append(0 if c is None else len(bytes(c)))
+                    valids.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "payload_bytes": nbytes,
+                    "valid": valids,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=META_SCHEMA)
+
+
+def pixel_histogram_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+    """Feature extraction over REAL decoded pixels: ``bins``-bucket
+    histogram of the unfiltered sample bytes (the post-codec analogue of
+    ``byte_histogram_features``, which bins the still-compressed payload).
+    Undecodable blobs emit an all-zero row, so downstream joins stay
+    total.  numpy-vectorized per Arrow batch after the per-blob decode."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "media_ref": pdf["media_ref"]}
+            hists = []
+            for c in pdf["content"]:
+                try:
+                    _, _, _, pixels = decode_real(bytes(c))
+                    arr = np.frombuffer(pixels, dtype="uint8")
+                    hists.append(
+                        np.bincount(arr // (256 // bins), minlength=bins)
+                    )
+                except (NotImplementedError, ValueError, TypeError):
+                    hists.append(np.zeros(bins, dtype="int64"))
             stacked = (
                 np.stack(hists) if hists else np.zeros((0, bins), dtype="int64")
             )
@@ -324,3 +539,59 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             F.lit(":"), F.col("text"),
         ).cast("binary").alias("content"),
     )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id string, media_ref string, format string, n_channels int, "
+    "sample_rate int, n_frames long, duration_ms long, valid boolean"
+)
+
+
+def decode_wav_metadata(media: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE blobs via the stdlib ``wave``
+    module — the audio counterpart of ``decode_metadata_real``:
+    (channels, sample rate, frame count, integer-ms duration) per blob,
+    undecodable rows flagged ``valid=False`` with zeroed metadata.
+    Same one-mapInPandas / poison-safe shape as every decode path here;
+    compressed formats (MP3/OGG/FLAC) need an external codec and land in
+    the invalid channel rather than raising."""
+    import io
+    import wave
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, chs, rates, frames, durs, valids = [], [], [], [], [], []
+            for c in pdf["content"]:
+                try:
+                    with wave.open(io.BytesIO(bytes(c))) as w:
+                        rate = w.getframerate()
+                        nfr = w.getnframes()
+                        if rate <= 0:
+                            raise ValueError("bad sample rate")
+                        fmts.append("WAV")
+                        chs.append(w.getnchannels())
+                        rates.append(rate)
+                        frames.append(nfr)
+                        durs.append(1000 * nfr // rate)
+                        valids.append(True)
+                except Exception:  # wave raises bare Error/EOFError on junk
+                    fmts.append("")
+                    chs.append(0)
+                    rates.append(0)
+                    frames.append(0)
+                    durs.append(0)
+                    valids.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "format": fmts,
+                    "n_channels": chs,
+                    "sample_rate": rates,
+                    "n_frames": frames,
+                    "duration_ms": durs,
+                    "valid": valids,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_META_SCHEMA)
