@@ -947,3 +947,88 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def keep_best_per_component(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(component, kept_doc, kept_score, n_members): quality-aware
+    survivor selection — within each near-dup component keep the member
+    with the HIGHEST score (ties broken on the smaller id), not the
+    arbitrary first occurrence.  Dropping the lower-quality copy of a
+    near-dup pair is the curation policy of the CCNet/Gopher-style
+    pipelines; first-occurrence keep (``paragraph_dedup`` semantics) is
+    the right choice only when order IS the policy.
+
+    ``score_col`` must be an exact (integer/decimal) expression so the
+    argmax is engine-reproducible — float scores tie-break differently
+    across engines.  Shape: one join of the component table (cluster
+    members only, never the corpus) back to the docs, one window over
+    ``component`` — bounded by duplicate-cluster sizes, which the LSH
+    giant-bucket caps already bound upstream.  At 100 TB both sides of
+    the join are component-member-sized; the corpus itself is touched
+    only by the upstream score projection."""
+    scored = docs.select(F.col(id_col), score_col.alias("__score"))
+    members = components.join(
+        scored, components.node == scored[id_col], "inner"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("node").asc()
+    )
+    return (
+        members.withColumn("__rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("node"))).alias("kept_doc"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__score"))).alias(
+                "kept_score"
+            ),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """(doc_id, cluster_rep, split): deterministic train/val/test split
+    that can NEVER leak a near-duplicate across splits — every document
+    is assigned by the hash of its duplicate-cluster REPRESENTATIVE
+    (component minimum), so all members of a cluster land in the same
+    split; singleton docs hash their own id, making this a strict
+    refinement of ``deterministic_split`` (identical assignment for every
+    unclustered doc, same 'split:' salt and 90/5/5 slots).
+
+    Eval-set contamination via near-dups is exactly the leak Lee et al.
+    (ACL 2022) measure; splitting by cluster representative is the
+    standard guard.  Shape: one LEFT join of the (cluster members only)
+    component table onto the corpus — at 100 TB the component table is
+    small relative to the corpus and broadcast-eligible, and the split
+    assignment itself is a map-side hash, no shuffle."""
+    if not (0 < train_pct and 0 < val_pct and train_pct + val_pct < 100):
+        raise ValueError(
+            f"bad split percentages: train={train_pct} val={val_pct}"
+        )
+    comp = components.select(
+        F.col("node"), F.col("component").alias("__comp")
+    )
+    joined = docs.select(F.col(id_col)).join(
+        comp, docs[id_col] == comp.node, "left"
+    )
+    rep = F.coalesce(F.col("__comp"), F.col(id_col))
+    slot = hash60(F.concat(F.lit("split:"), rep.cast("string"))) % 100
+    return joined.select(
+        F.col(id_col),
+        rep.alias("cluster_rep"),
+        F.when(slot < train_pct, "train")
+        .when(slot < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
