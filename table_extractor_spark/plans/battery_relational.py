@@ -1,0 +1,1925 @@
+"""B. Core relational operator queries over the TPC-H-ish tables.
+
+Split out of plans/queries.py in round 6 — same registrations, same
+oracle pairing, same engine-parity rules (see the plans/queries.py
+module docstring); the @register calls execute when plans/queries.py
+imports this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table, synthesize_docs_from_testdata
+from .registry import DUCK_HASH, register
+
+# ===========================================================================
+# B. core relational operators over the TPC-H-ish tables
+# ===========================================================================
+
+
+@register(
+    "settings_inventory",
+    oracle="""
+WITH d AS (
+  SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+         'Profile ' || lang AS section
+  FROM documents
+), sh AS (
+  SELECT section, h.header, doc_id
+  FROM d, (SELECT UNNEST(['Idx', 'Word']) AS header) h
+), rk AS (
+  SELECT section, header, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY section, header
+                            ORDER BY doc_id) AS rn
+  FROM sh
+), ex AS (
+  SELECT section, header,
+         string_agg(doc_id, ',' ORDER BY doc_id) AS examples
+  FROM rk WHERE rn <= 3 GROUP BY section, header
+)
+SELECT rk.section, rk.header, COUNT(*) AS n_tables, ex.examples,
+       CASE WHEN rk.header = 'Word' THEN 'dbo:word' ELSE '' END AS property
+FROM rk JOIN ex ON rk.section = ex.section AND rk.header = ex.header
+GROUP BY rk.section, rk.header, ex.examples
+""",
+)
+def settings_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A5/A6/O4/J4: the full pyDomainExplorer inventory path — sections x
+    headers with <=3 example pages and ontology-prefilled properties
+    (plans/explorer.py); 'Idx' has no ontology label, so its property is the
+    blank the user fills in."""
+    from .explorer import settings_inventory
+    from .extract import extract_pipeline
+
+    docs = synthesize_docs_from_testdata(spark, sf_dir)
+    out, _ = extract_pipeline(docs, num_partitions=32)
+    # table_inventory joins the sections and headers branches of the same
+    # extraction — persist so the kernel stage runs once, not per branch
+    out = out.persist()
+    ontology = spark.createDataFrame(
+        [("word", "dbo:word"), ("unused", "dbo:unused")], ["label", "property"]
+    )
+    # serialize the examples array so the driver canonicalizer can hash it
+    return settings_inventory(out, ontology).withColumn(
+        "examples", F.array_join("examples", ",")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_disc_value,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship relational aggregate (TPC-H Q1 shape): map-side partial aggs,
+    two-key groupBy, decimal-exact sums (A1/A2 pattern at warehouse scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # sums accumulate DECIMAL-exact; the returned columns are rounded
+            # doubles so Spark and DuckDB stringify identically for the hash
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 2
+            ).alias("sum_disc_value"),
+            F.count("*").alias("count_order"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-10.
+    The customer side is filter-reduced and broadcast; only lineitem (the
+    fact) shuffles for the aggregation — the join order Catalyst should and
+    does pick once the filters are pushed into the scans."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the six-table join: revenue by nation where the
+    CUSTOMER and the SUPPLIER sit in the same nation of one region, over a
+    two-year order window (the date filter prunes ORDERS, map-side).  The
+    multi-join planning showcase: region, nation, and supplier are truly
+    dimension-sized (bounded / sub-linear in scale factor) and carry
+    explicit broadcast hints; CUSTOMER grows linearly with the fact
+    (~2.5% of lineitem rows in TPC-H), so it gets NO forced hint — AQE +
+    autoBroadcastJoinThreshold picks a broadcast join at small SF and
+    degrades gracefully to a shuffle join at the 100-TB target, where a
+    forced broadcast would OOM the driver.  The same-nation predicate
+    rides INSIDE the supplier join condition, never as a post-join filter
+    over a wider cross product.  Decimal-exact revenue per the engine's
+    money policy, rounded double at the surface."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_orders
+FROM lineitem JOIN pp USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * c < s
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the DECORRELATED scalar subquery: "lineitems
+    whose quantity is below 20% of their part's average".  The naive form
+    re-computes a correlated per-part average per row; the scale form
+    computes the per-part (sum, count) ONCE (partial-agg'd, part-table
+    sized) and joins it back onto the fact, so the threshold filter runs
+    right at the join.  The aggregate is part-table sized — LINEAR in
+    scale factor (~3% of lineitem rows in TPC-H) — so it carries NO
+    forced broadcast hint: AQE picks a broadcast join while it fits and a
+    sort-merge join at the 100-TB target, where forcing the hint would
+    OOM.  The 0.2x-average compare is kept EXACT by clearing the
+    division: 5*qty*cnt < sum in DECIMAL — no float threshold, no
+    per-row divide.  One fact shuffle (the per-part agg); the revenue
+    total is a single-row aggregate."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(5 * dec("l_quantity") * F.col("c") < F.col("s"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_small_orders"),
+        )
+    )
+
+
+@register(
+    "rollup_event_stats",
+    oracle="""
+SELECT event_type, user_id, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(user_id) AS INT) AS g_user
+FROM events
+GROUP BY ROLLUP(event_type, user_id)
+""",
+)
+def rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 at multiple granularities in ONE pass: ROLLUP computes
+    (type,user), (type), and grand-total rows in a single shuffle — the
+    alternative of three groupBys scans the fact table three times."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type", "user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("user_id").cast("int").alias("g_user"),
+    ).select("event_type", "user_id", "n", "sum_value", "g_type", "g_user")
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CAST(AVG(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS mavg
+FROM events
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average: a ROWS frame keeps the window operator
+    streaming (constant memory per partition) — never an unbounded RANGE
+    frame where a bounded one answers the question."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+            6,
+        ).alias("mavg"),
+    )
+
+
+@register(
+    "percentile_summary",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group.  Exact percentile
+    needs the group's values sorted, so it is the right tool up to groups
+    that fit an executor; beyond that switch to approx_percentile (t-digest,
+    mergeable map-side) — pinned separately in pytest because its sketch is
+    engine-specific and can never hash-match a DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_us,
+       epoch_us(time_bucket(INTERVAL '10 minutes', ts)
+                + INTERVAL '10 minutes') AS window_end_us,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-aggregation operator (streaming/stateful.py)
+    run in batch mode — identical plan minus the watermark state; the
+    streaming form (watermark closes windows, late data dropped, restart
+    resumes) is pinned in tests/test_streaming_stateful.py."""
+    from ..streaming.stateful import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return windowed_event_counts(ev)
+
+
+@register(
+    "time_rollup_daily",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS bucket_start_us,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def time_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate rollup view (operators/rollup_maintenance)
+    computed in batch; the incremental-merge path (N increments == full
+    recompute, untouched partitions byte-stable) is pinned in
+    tests/test_rollup_maintenance.py."""
+    from ..operators.rollup_maintenance import rollup_increment
+
+    ev = load_table(spark, sf_dir, "events")
+    r = rollup_increment(ev, "1 day")
+    return r.select(
+        "bucket_start_us",
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total
+  FROM orders WHERE o_orderkey < 2000
+), l AS (
+  SELECT l_orderkey AS k,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS line_sum
+  FROM lineitem WHERE l_orderkey < 1500 GROUP BY l_orderkey
+)
+SELECT coalesce(o.k, l.k) AS orderkey, o.total, l.line_sum,
+       CASE WHEN o.k IS NULL THEN 'lines_without_order'
+            WHEN l.k IS NULL THEN 'order_without_lines'
+            ELSE 'both' END AS status
+FROM o FULL OUTER JOIN l ON o.k = l.k
+""",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source reconciliation (the warehouse orphan audit): FULL OUTER join
+    of two feeds with asymmetric slices, classifying every key as matched
+    or orphaned on either side.  Full outer cannot broadcast — it plans as
+    a sort-merge join on the key, which is the right shape here."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1500)
+        .groupBy(F.col("l_orderkey").alias("lk"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("line_sum")
+        )
+    )
+    j = o.join(li, o.ok == li.lk, "full_outer")
+    return j.select(
+        F.coalesce("ok", "lk").alias("orderkey"),
+        "total",
+        "line_sum",
+        F.when(F.col("ok").isNull(), "lines_without_order")
+        .when(F.col("lk").isNull(), "order_without_lines")
+        .otherwise("both")
+        .alias("status"),
+    )
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+SELECT user_id, n, CAST(rk AS INT) AS rk FROM (
+  SELECT user_id, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 10
+""",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (hot keys — the skew-detection input): one
+    partial-aggregated groupBy then a top-10.  The mergeable-sketch variant
+    (count_min_sketch, for when even the per-key agg is too wide) is
+    error-bound-pinned in pytest — its binary is engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@register(
+    "skew_report",
+    oracle="""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS __total FROM documents
+), top AS (
+  SELECT lang, cnt FROM per ORDER BY cnt DESC, lang LIMIT 20
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) AS BIGINT) AS rank,
+       lang, cnt,
+       CAST((1000000 * cnt) // __total AS BIGINT) AS share_ppm
+FROM top, tot
+""",
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-shuffle skew diagnostic (operators/repartition.skew_report):
+    the hot-key profile of a join/aggregation key, run BEFORE committing a
+    plan to a big shuffle — it decides broadcast-vs-salt-vs-AQE while the
+    decision is still cheap.  share_ppm is each key's integer ppm share of
+    all rows; a key at ~1e6/P ppm (P = shuffle partitions) already owns an
+    entire partition, which is exactly the mega-article skew the corpus's
+    ``lang`` column exhibits (en ≈ 44%).  The per-key count is map-side
+    partial-agg'd; the global top-k is TakeOrderedAndProject (never a full
+    sort of the key table); the rank window runs over the already-LIMITed
+    top_k rows — a bounded single-partition stage by construction."""
+    from ..operators.repartition import skew_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skew_report(docs, "lang", top_k=20)
+
+
+def _duck_pagerank_round(prev: str, out: str) -> str:
+    """One exact-integer PageRank CTE: rank' = 150000 + 850000 *
+    sum(rank div outdeg) div 1e6 (DuckDB SUM promotes to int128; the
+    final CAST lands every round back on BIGINT like the Spark side)."""
+    return f"""{out} AS (
+  SELECT n.node,
+         CAST(150000 + 850000 * COALESCE(SUM(r.rank_ppm // d.deg), 0)
+              // 1000000 AS BIGINT) AS rank_ppm
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN outdeg d ON d.src = e.src
+  LEFT JOIN {prev} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+
+
+@register(
+    "supplier_pagerank",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+), outdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes
+), {_duck_pagerank_round("r0", "r1")},
+{_duck_pagerank_round("r1", "r2")},
+{_duck_pagerank_round("r2", "r3")}
+SELECT node, rank_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_ppm DESC, node) AS BIGINT) AS rk
+FROM r3 ORDER BY rank_ppm DESC, node LIMIT 20
+""",
+)
+def supplier_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph ranking (operators/graph.pagerank): 3 exact-integer
+    PageRank rounds over the customer<->supplier interaction graph mined
+    from orders x lineitem (both directions, so the graph is cyclic and
+    mass actually circulates), then the top-20 nodes.  The iteration is
+    the Pregel-ish DataFrame shape — one join + one partial-agg'd groupBy
+    per round, ZERO driver traffic inside the loop — and the ppm integer
+    arithmetic is order-invariant, so the oracle replays all three rounds
+    as chained CTEs bit-for-bit.  Top-20 is TakeOrderedAndProject, never
+    a full sort of the node table."""
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3)
+    w = Window.orderBy(F.col("rank_ppm").desc(), F.col("node"))
+    return (
+        ranks.orderBy(F.col("rank_ppm").desc(), F.col("node"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH u0 AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+),
+tiers AS (
+      SELECT 0 AS i, '(all)' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM u0
+  UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT CAST(i AS BIGINT) AS step_idx, step, n_users,
+       CAST(CASE WHEN i > 0 AND lag(n_users) OVER (ORDER BY i) > 0
+                 THEN 1000000 * n_users
+                      // lag(n_users) OVER (ORDER BY i) END AS BIGINT)
+         AS conversion_ppm
+FROM tiers
+""",
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (operators/funnel.funnel_counts): users
+    surviving view -> click -> purchase under STRICT temporal ordering
+    (step k+1 counts only events strictly after the user's earliest
+    qualifying step-k event; same-instant ties do not advance).  One
+    filtered per-user aggregation per step, each joined to the shrinking
+    survivor table of the previous step on the user key — partitioning
+    reused across steps, no window over the raw event table; the k+1-row
+    report is the only bounded-window stage.  Integer ppm conversions,
+    replayed by chained CTEs."""
+    from ..operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+cells AS (
+  SELECT t.r AS row,
+         ({DUCK_HASH.format("CAST(t.r AS VARCHAR) || '|' || k.key")} % 256)
+           AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM k, generate_series(0, 3) t(r)
+  GROUP BY 1, 2
+),
+per_row AS (
+  SELECT row, CAST(SUM(cnt * cnt) AS BIGINT) AS s FROM cells GROUP BY row
+),
+exact AS (
+  SELECT CAST(SUM(n * n) AS BIGINT) AS exact_join_rows FROM (
+    SELECT COUNT(*) AS n FROM events GROUP BY user_id
+  )
+)
+SELECT CAST(MIN(s) AS BIGINT) AS est_join_rows, exact_join_rows
+FROM per_row, exact GROUP BY exact_join_rows
+""",
+)
+def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size pre-flight (operators/sketches.
+    countmin_join_size): estimate |events self-join on user_id| — the
+    quadratic-blowup question behind every pair-generation stage — from
+    the count-min inner product (Cormode & Muthukrishnan 2005), paired
+    with the exact sum-of-squares for audit.  est >= exact always; the
+    whole answer comes from two d*w cell tables, never a key shuffle of
+    the event table.  Complements skew_report: that names the hot keys,
+    this prices the join they would produce."""
+    from ..operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("key"))
+    est = SK.countmin_join_size(keys, keys)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n"))
+            .cast("long")
+            .alias("exact_join_rows")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "event_rate_spikes",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), r AS (
+  SELECT bucket, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt, bucket) AS rn,
+         COUNT(*) OVER () AS tot
+  FROM b
+), m AS (SELECT cnt AS med FROM r WHERE rn = (tot + 1) // 2)
+SELECT CAST(r.bucket AS BIGINT) AS bucket, r.cnt,
+       CAST(m.med AS BIGINT) AS med,
+       CAST(CASE WHEN 2 * r.cnt > 3 * m.med THEN 1 ELSE 0 END AS BIGINT)
+         AS is_spike
+FROM r, m
+""",
+)
+def event_rate_spikes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rate anomaly report: hourly event counts flagged against the
+    EXACT low-median baseline (cnt > 1.5x median, all-integer compare —
+    2*cnt > 3*med — no float thresholds).  The crawler-ops question "did
+    an hour spike" answered deterministically: the hour bucket is integer
+    epoch-microsecond division (timestamp-parity convention), the median
+    is the rank-(n+1)/2 element of the BUCKET table — bounded by elapsed
+    hours, not events, so its single-partition rank window is bounded by
+    construction (same rule as skew_report's rank stage); the corpus-
+    sized work is one partial-agg'd groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            # floor-div (not div's truncate-toward-zero) so pre-1970
+            # timestamps bucket identically to DuckDB's `//`
+            F.expr(
+                "(unix_micros(cast(ts as timestamp))"
+                " - pmod(unix_micros(cast(ts as timestamp)), 3600000000))"
+                " div 3600000000"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("cnt", "bucket")
+    ranked = buckets.withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("tot", F.count("*").over(Window.partitionBy()))
+    med = (
+        ranked.filter(F.col("rn") == F.expr("(tot + 1) div 2"))
+        .select(F.col("cnt").cast("long").alias("med"))
+    )
+    return (
+        buckets.crossJoin(F.broadcast(med))
+        .withColumn(
+            "is_spike",
+            F.when(2 * F.col("cnt") > 3 * F.col("med"), 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "cnt", "med", "is_spike",
+        )
+    )
+
+
+@register(
+    "curriculum_buckets",
+    oracle="""
+WITH h AS (
+  SELECT n_chars // 8 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER () AS n_total
+  FROM h
+), p AS (
+  SELECT unnest([100000, 200000, 300000, 400000, 500000,
+                 600000, 700000, 800000, 900000]) AS p_ppm
+), br AS (
+  SELECT p_ppm, MIN(bin) * 8 + 7 AS est_hi
+  FROM c, p
+  WHERE cum * 1000000 >= p_ppm * n_total
+  GROUP BY p_ppm
+), a AS (
+  SELECT d.doc_id, d.n_chars,
+         1 + (SELECT COUNT(*) FROM br WHERE br.est_hi < d.n_chars)
+           AS bucket
+  FROM documents d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM a GROUP BY bucket
+""",
+)
+def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing WITHOUT a global sort: docs assigned to ~decile
+    length buckets by comparing n_chars to boundaries derived from the
+    bounded histogram sketch — the range-partitioner pattern (boundaries
+    from a summary, assignment map-side), where the naive NTILE form
+    would drag the whole corpus through one ordering partition.  The nine
+    decile boundaries broadcast as ONE array row; each doc's bucket is
+    1 + count(boundaries < n_chars) via a map-side array filter.  Bucket
+    populations are decile-approximate (bracket-rounded — the honest
+    sketch trade, bounded by bin_width); boundaries and assignment are
+    bit-deterministic, so the oracle replays histogram, brackets, and
+    every assignment."""
+    from ..operators.sketches import histogram_quantile_brackets, histogram_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = histogram_sketch(
+        docs.select(F.col("n_chars").alias("val")), bin_width=8
+    )
+    probs = [p * 100_000 for p in range(1, 10)]
+    bounds = (
+        histogram_quantile_brackets(hist, probs, bin_width=8)
+        .agg(F.array_sort(F.collect_list("est_hi")).alias("bs"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                1
+                + F.size(
+                    F.filter("bs", lambda b: b < F.col("n_chars"))
+                )
+            )
+            .cast("long")
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS val FROM documents
+UNION ALL SELECT 'n_tokens',
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_langs',
+  CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_sources',
+  CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL SELECT 'n_exact_dup_docs',
+  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM documents
+UNION ALL SELECT 'max_doc_tokens',
+  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) FROM documents
+UNION ALL SELECT 'min_doc_tokens',
+  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) FROM documents
+""",
+)
+def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card stat block (Gebru et al. 2021, "Datasheets for
+    Datasets"): the headline numbers a corpus release publishes — doc and
+    token totals, language/source breadth, the exact-duplicate count, and
+    the doc-length envelope — as ONE single-scan aggregate row stacked
+    into (metric, val).  All counts exact int64 (the exact-dup figure
+    needs a distinct over text: an honest full-corpus distinct; at
+    10^12 docs swap in the HLL estimate from hll_distinct_estimate when
+    approximate is acceptable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    agg = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count("*") - F.countDistinct("text"))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.max(toks).cast("long").alias("max_doc_tokens"),
+        F.min(toks).cast("long").alias("min_doc_tokens"),
+    )
+    return agg.selectExpr(
+        "stack(7, "
+        "'n_docs', n_docs, 'n_tokens', n_tokens, 'n_langs', n_langs, "
+        "'n_sources', n_sources, 'n_exact_dup_docs', n_exact_dup_docs, "
+        "'max_doc_tokens', max_doc_tokens, 'min_doc_tokens', min_doc_tokens"
+        ") AS (metric, val)"
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH c AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) // 604800000000 AS cohort_period
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, c.cohort_period,
+         epoch_us(e.ts) // 604800000000 - c.cohort_period AS period_offset
+  FROM events e JOIN c ON e.user_id = c.user_id
+), n AS (
+  SELECT cohort_period, period_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM a GROUP BY cohort_period, period_offset
+), s AS (
+  SELECT cohort_period, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM c GROUP BY cohort_period
+)
+SELECT CAST(n.cohort_period AS BIGINT) AS cohort_period,
+       CAST(period_offset AS BIGINT) AS period_offset,
+       n_users, cohort_size,
+       CAST(1000000 * n_users // cohort_size AS BIGINT) AS retention_ppm
+FROM n JOIN s ON n.cohort_period = s.cohort_period
+""",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.cohort_retention): users
+    bucketed by the WEEK of their first event (integer division of epoch
+    microseconds — the timestamp-parity convention, no calendar/timezone
+    functions), each later week reporting how many came back, in exact
+    ppm of the cohort.  One per-user min, one co-partitioned user-key
+    join, a (user, cohort, offset) distinct bounded by active
+    user-periods, two bounded-key aggregations, cohort sizes broadcast."""
+    from ..operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@register(
+    "resource_count",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
+)
+def resource_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: SPARQL count(distinct ?s) -> countDistinct."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "effectiveness_ratio",
+    oracle="""
+SELECT ROUND(CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS effectiveness
+FROM lineitem
+""",
+)
+def effectiveness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: mapped/extractable ratio as a single agg (Utilities.py:445-449)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("effectiveness")
+    )
+
+
+@register(
+    "min_rows_filter",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+""",
+)
+def min_rows_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: n_rows > 1 gate (pyDomainExplorer.py:79-81) as HAVING."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "totale_filter",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type <> 'error' GROUP BY event_type
+""",
+)
+def totale_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: drop marker rows (HtmlTableParser.py:783-800) as a NOT-filter."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rule_lookup_cascade",
+    oracle="""
+WITH strict_rules AS (
+  SELECT n_nationkey AS key, 'nation:' || n_name AS property
+  FROM nation WHERE n_nationkey % 2 = 0
+), loose_rules AS (
+  SELECT r_regionkey AS key, 'region:' || r_name AS property FROM region
+)
+SELECT COALESCE(s.property, l.property, 'UNMAPPED') AS property,
+       COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN strict_rules s ON c.c_nationkey = s.key
+LEFT JOIN loose_rules l ON n.n_regionkey = l.key
+GROUP BY 1
+""",
+)
+def rule_lookup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the strict-then-loose mapping-rule cascade (Mapper.py:134-191) as
+    two BROADCAST left joins + coalesce — the Spark-native replacement for the
+    reference's per-cell dict probes."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    strict = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").alias("skey"),
+        F.concat(F.lit("nation:"), "n_name").alias("sprop"),
+    )
+    loose = region.select(
+        F.col("r_regionkey").alias("lkey"),
+        F.concat(F.lit("region:"), "r_name").alias("lprop"),
+    )
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(strict), F.col("c_nationkey") == F.col("skey"), "left")
+        .join(F.broadcast(loose), F.col("n_regionkey") == F.col("lkey"), "left")
+        .select(
+            F.coalesce("sprop", "lprop", F.lit("UNMAPPED")).alias("property")
+        )
+        .groupBy("property")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "section_rule_gate",
+    oracle="""
+WITH section_rules AS (
+  SELECT UNNEST(['1-URGENT', '2-HIGH']) AS key,
+         UNNEST(['urgent', 'high']) AS property
+)
+SELECT r.property, COUNT(*) AS n FROM orders o
+JOIN section_rules r ON o.o_orderpriority = r.key
+GROUP BY r.property
+""",
+)
+def section_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: SECTION_ rule gate (Mapper.py:147-155) — unmapped sections drop the
+    whole table; here an inner broadcast join drops unmapped orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    rules = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("2-HIGH", "high")], ["key", "property"]
+    )
+    return (
+        orders.join(F.broadcast(rules), orders.o_orderpriority == rules.key)
+        .groupBy("property")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "entity_probe_semi",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+GROUP BY c_nationkey
+""",
+)
+def entity_probe_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the resource-existence ASK probe (Mapper.py:216-237) as a broadcast
+    LEFT SEMI join against the known-entities table."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.join(
+            F.broadcast(supplier.select(F.col("s_nationkey").alias("c_nationkey"))),
+            on="c_nationkey",
+            how="leftsemi",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rules_merge",
+    oracle="""
+WITH old_rules AS (
+  SELECT n_name AS key, 'old:' || CAST(n_nationkey AS VARCHAR) AS property,
+         0 AS version FROM nation
+), new_rules AS (
+  SELECT n_name AS key, 'new:' || CAST(n_nationkey AS VARCHAR) AS property,
+         1 AS version FROM nation WHERE n_nationkey % 3 = 0
+), unioned AS (
+  SELECT * FROM old_rules UNION ALL SELECT * FROM new_rules
+)
+SELECT key, arg_max(property, version) AS property FROM unioned GROUP BY key
+""",
+)
+def rules_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: old ∪ new rules, last-wins (MapperTools.py:130-147) via
+    unionByName + max_by on a version column."""
+    nation = load_table(spark, sf_dir, "nation")
+    old = nation.select(
+        F.col("n_name").alias("key"),
+        F.concat(F.lit("old:"), F.col("n_nationkey").cast("string")).alias("property"),
+        F.lit(0).alias("version"),
+    )
+    new = nation.filter(F.col("n_nationkey") % 3 == 0).select(
+        F.col("n_name").alias("key"),
+        F.concat(F.lit("new:"), F.col("n_nationkey").cast("string")).alias("property"),
+        F.lit(1).alias("version"),
+    )
+    return (
+        old.unionByName(new)
+        .groupBy("key")
+        .agg(F.expr("max_by(property, version)").alias("property"))
+    )
+
+
+@register(
+    "zip_join_positional",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, words[t.i] AS word
+FROM w, UNNEST(generate_series(1, len(words))) t(i)
+""",
+)
+def zip_join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the header<->cell positional zip join (HtmlTableParser.py:914-963)
+    as posexplode — an index join, not a hash join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@register(
+    "reification_index",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber) AS reif_index
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def reification_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W5: the per-resource monotone row counter (Mapper.py:97-98) as
+    row_number over (doc, table order, row order)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("reif_index")
+    )
+
+
+@register(
+    "section_fill_down",
+    oracle="""
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_error_event
+FROM events
+""",
+)
+def section_fill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: section context = forward-fill of the latest heading
+    (HtmlTableParser.py:220-268) — last_value(... ignore nulls) over rows
+    unbounded preceding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "error", F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(marker, ignorenulls=True).over(w).alias("last_error_event"),
+    )
+
+
+@register(
+    "header_latch",
+    oracle="""
+SELECT event_id, user_id,
+       MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS started_data
+FROM events
+""",
+)
+def header_latch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the started_data latch (HtmlTableParser.py:287-309) as a running
+    max over the partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w)
+        .alias("started_data"),
+    )
+
+
+@register(
+    "running_column_sums",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS DOUBLE), 2) AS prior_sum
+FROM events
+""",
+)
+def running_column_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/P5: per-column running sums of PRIOR rows (MapperTools.py:217-235)
+    — the summary-row filter's window shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        # the sum itself stays DECIMAL-exact; only the *returned* column is
+        # rendered as rounded double so both engines stringify identically
+        # ('136991.00' vs '136991.0' was the only r01 mismatch here)
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("prior_sum"),
+    )
+
+
+@register(
+    "summary_row_filter",
+    oracle="""
+WITH sums AS (
+  SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+         SUM(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_sum
+  FROM events
+)
+SELECT COUNT(*) AS n_summary_rows FROM sums WHERE v = prior_sum
+""",
+)
+def summary_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 analogue in pure SQL: rows equal to the running sum of prior rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.select(v.alias("v"), F.sum(v).over(w).alias("prior_sum"))
+        .filter(F.col("v") == F.col("prior_sum"))
+        .agg(F.count("*").alias("n_summary_rows"))
+    )
+
+
+@register(
+    "distinct_header_inventory",
+    oracle="""
+SELECT event_type, MIN(user_id) AS first_user, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def distinct_header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct header inventory, first-seen example (pyDomainExplorer)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("user_id").alias("first_user"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "section_grouping",
+    oracle="""
+WITH cnt AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+rk AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY user_id) AS rn
+  FROM du
+), ex AS (
+  SELECT event_type, string_agg(user_id, ',' ORDER BY user_id) AS examples
+  FROM rk WHERE rn <= 3 GROUP BY event_type
+)
+SELECT c.event_type, c.n, ex.examples
+FROM cnt c JOIN ex ON c.event_type = ex.event_type
+""",
+)
+def section_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/O4: section grouping with <=3 example pages
+    (pyDomainExplorer.py:84-158)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("user_id")), 1, 3), ","
+            ).alias("examples"),
+        )
+    )
+
+
+@register(
+    "section_fuzzy_merge",
+    oracle="""
+WITH sections AS (
+  SELECT DISTINCT p_type AS section FROM part
+  UNION
+  SELECT DISTINCT split_part(p_type, ' ', 1) FROM part
+),
+pairs AS (
+  SELECT s.section, t.section AS candidate
+  FROM sections s JOIN sections t
+    ON s.section LIKE '%' || t.section || '%'
+)
+SELECT section, MIN(candidate ORDER BY length(candidate), candidate) AS group_key
+FROM pairs GROUP BY section
+""",
+)
+def section_fuzzy_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the explorer's substring-based section merge ('College' absorbs
+    'College statistics', pyDomainExplorer.py:119-139) — rebuilt
+    order-independently as a self-join on substring containment with a
+    deterministic canonical key (shortest contained section).  The section
+    vocabulary is tiny (it is GROUPed output), so the self-join broadcasts."""
+    part = load_table(spark, sf_dir, "part")
+    sections = (
+        part.select(F.col("p_type").alias("section"))
+        .union(part.select(F.split("p_type", " ")[0].alias("section")))
+        .distinct()
+    )
+    cand = sections.select(F.col("section").alias("candidate"))
+    pairs = sections.join(
+        F.broadcast(cand), F.col("section").contains(F.col("candidate"))
+    )
+    return pairs.groupBy("section").agg(
+        F.expr(
+            "min_by(candidate, struct(length(candidate), candidate))"
+        ).alias("group_key")
+    )
+
+
+@register(
+    "ontology_label_probe",
+    oracle="""
+WITH ontology AS (
+  SELECT DISTINCT lower(n_name) AS label,
+         'dbo:' || replace(lower(n_name), ' ', '_') AS property
+  FROM nation
+)
+SELECT COALESCE(o.property, 'NO_PROPERTY') AS property, COUNT(*) AS n
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN ontology o ON lower(n.n_name) = o.label AND n.n_nationkey % 2 = 0
+GROUP BY 1
+""",
+)
+def ontology_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the explorer's DBpedia-ontology label lookup
+    (pyDomainExplorer.py:206-230) as a broadcast left join against an
+    ontology(label -> property) table; misses become the settings-file
+    blanks the user fills in."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ontology = nation.select(
+        F.lower("n_name").alias("label"),
+        F.concat(
+            F.lit("dbo:"), F.replace(F.lower("n_name"), F.lit(" "), F.lit("_"))
+        ).alias("property"),
+    ).distinct()
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(ontology),
+            (F.lower("n_name") == F.col("label"))
+            & (F.col("n_nationkey") % 2 == 0),
+            "left",
+        )
+        .select(F.coalesce("property", F.lit("NO_PROPERTY")).alias("property"))
+        .groupBy("property")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+SELECT user_id,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS click_value,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS view_value,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error'
+                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS error_value
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): explicit pivot values keep the plan a single
+    groupBy with conditional aggregates — never let pivot() scan for distinct
+    keys at scale (that is an extra job over the full input)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.sum(dec))
+    )
+    return piv.select(
+        "user_id",
+        F.round(F.col("click").cast("double"), 2).alias("click_value"),
+        F.round(F.col("view").cast("double"), 2).alias("view_value"),
+        F.round(F.col("error").cast("double"), 2).alias("error_value"),
+    )
+
+
+@register(
+    "top_k_per_group",
+    oracle="""
+SELECT user_id, event_id, CAST(rk AS INT) AS rk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(value AS DECIMAL(18,2)) DESC,
+                                     event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: row_number over a per-group ordering + filter — the
+    canonical pattern; deterministic tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").cast("decimal(18,2)").desc(), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+@register(
+    "range_join_value_bands",
+    oracle="""
+WITH bands AS (
+  SELECT n_nationkey AS band_id,
+         CAST(n_nationkey * 40 AS DOUBLE) AS lo,
+         CAST(n_nationkey * 40 + 60 AS DOUBLE) AS hi
+  FROM nation
+)
+SELECT b.band_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin): events matched into overlapping
+    value bands via domain bucketization — equi hash join on the bucket plus
+    an exact refine, instead of a nested-loop theta join."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 40).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 40 + 60).cast("double").alias("hi"),
+    )
+    joined = bucketed_range_join(
+        ev, bands, point="value", lo="lo", hi="hi", bucket_width=50.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+@register(
+    "asof_join_latest_error",
+    oracle="""
+WITH lhs AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+), rhs AS (
+  SELECT user_id, ts, MAX(event_id) AS err_event
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       r.err_event AS right_err_event
+FROM lhs l ASOF LEFT JOIN rhs r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_join_latest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof): each non-error event picks up the latest
+    at-or-before error event of the same user — union + ordered fill-down,
+    one shuffle, no Python; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    lhs = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "ts"
+    )
+    rhs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event"))
+    )
+    joined = asof_join(lhs, rhs, on="ts", by="user_id", value_cols=["err_event"])
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "right_err_event",
+    )
+
+
+@register(
+    "asof_join_next_error",
+    oracle="""
+WITH lhs AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+), rhs AS (
+  SELECT user_id, ts, MAX(event_id) AS err_event
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       r.err_event AS right_err_event
+FROM lhs l ASOF LEFT JOIN rhs r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each non-error event picks up the EARLIEST
+    at-or-after error of the same user (alerting/root-cause direction) —
+    the mirror window of `asof_join_latest_error`, still one shuffle and no
+    Python; oracle is DuckDB ASOF LEFT JOIN with the <= inequality."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    lhs = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "ts"
+    )
+    rhs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event"))
+    )
+    joined = asof_join(
+        lhs, rhs, on="ts", by="user_id", value_cols=["err_event"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "right_err_event",
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS INT) AS session_no,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM sessions GROUP BY user_id, session_no
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (training-pipeline staple): lag + cumulative
+    sum of session-break flags, then per-session aggregates.  Timestamps are
+    compared as epoch microseconds (UTC session, see session.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    # parquet stores timestamp_ntz; with the UTC session (session.py) the
+    # ntz -> instant cast is deterministic and unix_micros applies
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = ev.withColumn("__us", us)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("__us").over(w).isNull()
+            | (F.col("__us") - F.lag("__us").over(w) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = gaps.withColumn(
+        "session_no", F.sum("new_session").over(wrun).cast("int")
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("__us").alias("session_start_us"),
+        F.max("__us").alias("session_end_us"),
+    )
+
+
+@register(
+    "order_preservation",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber
+""",
+)
+def order_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: explicit order columns carried as data (order-as-schema)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 40)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "scalar_text_cleanup",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name || ' [12]', '\\[\\d+\\]', '', 'g') AS no_citation,
+       replace(p_name || CHR(160) || 'x', CHR(160), ' ') AS nbsp_to_space,
+       replace(p_name || CHR(160) || 'x', CHR(160), '') AS nbsp_deleted,
+       replace('it''s ' || p_name, '''', '.') AS quote_mangled,
+       replace(p_name || CHR(10) || 'y', CHR(10), '/') AS newline_data,
+       CASE WHEN p_name <> '' AND substr(p_name, 1, 1) = ' '
+            THEN substr(p_name, 2) ELSE p_name END AS lstrip_one
+FROM part WHERE p_partkey < 200
+""",
+)
+def scalar_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8: the reference's string cleanups as built-in JVM functions
+    (citations, nbsp asymmetry, quote mangling, newline rules)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    nbsp = F.lit("\xa0")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.concat("p_name", F.lit(" [12]")), r"\[\d+\]", "").alias(
+            "no_citation"
+        ),
+        F.replace(F.concat("p_name", nbsp, F.lit("x")), nbsp, F.lit(" ")).alias(
+            "nbsp_to_space"
+        ),
+        F.replace(F.concat("p_name", nbsp, F.lit("x")), nbsp, F.lit("")).alias(
+            "nbsp_deleted"
+        ),
+        F.replace(F.concat(F.lit("it's "), "p_name"), F.lit("'"), F.lit(".")).alias(
+            "quote_mangled"
+        ),
+        F.replace(
+            F.concat("p_name", F.lit("\n"), F.lit("y")), F.lit("\n"), F.lit("/")
+        ).alias("newline_data"),
+        F.when(
+            (F.col("p_name") != "") & (F.substring("p_name", 1, 1) == " "),
+            F.expr("substring(p_name, 2)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("lstrip_one"),
+    )
+
+
+def _py2_float_oracle_sql() -> str:
+    from ..functions.typing import PY2_FLOAT_RE
+
+    # the SAME regex string runs in both engines (Java regex / RE2)
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(l_quantity AS VARCHAR)
+           || CASE WHEN l_linenumber % 3 = 0 THEN 'D'
+                   WHEN l_linenumber % 3 = 1 THEN ''
+                   ELSE 'e2' END AS cell
+  FROM lineitem WHERE l_orderkey < 100
+)
+SELECT l_orderkey, l_linenumber, cell,
+       regexp_matches(cell, '{PY2_FLOAT_RE}') AS is_py2_float,
+       TRY_CAST(l_returnflag AS DOUBLE) AS flag_typed
+FROM s
+"""
+
+
+@register("float_typing", oracle=_py2_float_oracle_sql())
+def float_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: numeric typing via the py2 float() grammar (MapperTools.py:
+    183-195) as a shared-regex JVM predicate — NOT try_cast, whose grammar
+    differs (a 'D'-suffixed cell casts in Spark but raises in py2; the
+    crafted cells here pin that divergence on every third row)."""
+    from ..functions.typing import py2_float_matches
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    cell = F.concat(
+        F.col("l_quantity").cast("string"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("D"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("e2")),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cell.alias("cell"),
+        py2_float_matches(cell).alias("is_py2_float"),
+        F.col("l_returnflag").try_cast("double").alias("flag_typed"),
+    )
+
+
+@register(
+    "uri_tail_split",
+    oracle="""
+SELECT p_partkey,
+       split_part('http://dbpedia.org/resource/' || replace(p_name, ' ', '_'),
+                  '/', -1) AS resource_tail
+FROM part WHERE p_partkey < 200
+""",
+)
+def uri_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: URI tail extraction (ExplorerTools.py:188-198) via
+    substring_index."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    uri = F.concat(
+        F.lit("http://dbpedia.org/resource/"), F.replace("p_name", F.lit(" "), F.lit("_"))
+    )
+    return p.select(
+        "p_partkey", F.substring_index(uri, "/", -1).alias("resource_tail")
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    oracle="""
+WITH u AS (
+  SELECT p_partkey,
+         'HTTP://Example' || CAST(p_partkey % 7 AS VARCHAR)
+           || '.COM/item/' || replace(p_name, ' ', '-')
+           || CASE WHEN p_partkey % 3 = 0 THEN '/?utm_source=x&id='
+                     || CAST(p_partkey % 50 AS VARCHAR)
+                   WHEN p_partkey % 3 = 1 THEN '?id='
+                     || CAST(p_partkey % 50 AS VARCHAR) || '#frag'
+                   ELSE '/' END AS url
+  FROM part WHERE p_partkey < 400
+), norm AS (
+  SELECT p_partkey,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                  || url[length(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1:],
+                '#.*$', ''),
+              '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\\1'),
+            '\\?&+', '?'),
+          '&&+', '&'),
+        '[?&]$', ''),
+      '(://[^/?#]+/.+?)/(\\?|$)', '\\1\\2') AS canon
+  FROM u
+)
+SELECT canon, COUNT(*) AS n, MIN(p_partkey) AS keeper
+FROM norm GROUP BY canon
+""",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (functions/url.py): lowercase authority,
+    drop fragment + tracking params, strip the redundant trailing slash,
+    then group by the canonical form — the first dedup pass of every web
+    pipeline, all JVM-side; URLs synthesized deterministically from part so
+    the oracle replays the identical rule chain."""
+    from ..functions.url import normalize_url
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    url = F.concat(
+        F.lit("HTTP://Example"),
+        (F.col("p_partkey") % 7).cast("string"),
+        F.lit(".COM/item/"),
+        F.replace("p_name", F.lit(" "), F.lit("-")),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=x&id="),
+                (F.col("p_partkey") % 50).cast("string"),
+            ),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.lit("?id="),
+                (F.col("p_partkey") % 50).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(F.lit("/")),
+    )
+    return (
+        p.select("p_partkey", normalize_url(url).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count("*").alias("n"), F.min("p_partkey").alias("keeper"))
+    )
+
+
+@register(
+    "resource_list",
+    oracle="""
+WITH u AS (
+  SELECT CASE
+           WHEN p_partkey % 3 = 0
+             THEN 'http://dbpedia.org/resource/' || replace(p_name, ' ', '_')
+           WHEN p_partkey % 3 = 1
+             THEN 'http://dbpedia.org/ontology/' || replace(p_name, ' ', '_')
+           ELSE 'http://resourceful.example/' || replace(p_name, ' ', '_')
+         END AS uri
+  FROM part WHERE p_partkey < 300
+), parts AS (
+  SELECT uri, string_split(uri, '/') AS p FROM u WHERE contains(uri, 'resource')
+)
+SELECT p[list_position(p, 'resource') + 1] AS line
+FROM parts WHERE list_position(p, 'resource') > 0
+""",
+)
+def resource_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the Selector's resource-list sink content (Selector.py:80-124) —
+    URIs with an exact 'resource' path segment reduced to the name after it;
+    'ontology' URIs and URIs merely CONTAINING 'resource' (ValueError ->
+    skipped in the reference) are dropped."""
+    from .explorer import resource_list_lines
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    name = F.replace("p_name", F.lit(" "), F.lit("_"))
+    uris = p.select(
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("http://dbpedia.org/resource/"), name),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.lit("http://dbpedia.org/ontology/"), name),
+        )
+        .otherwise(F.concat(F.lit("http://resourceful.example/"), name))
+        .alias("uri")
+    )
+    return resource_list_lines(uris)
+
+

@@ -73,11 +73,20 @@ def test_r6_window_leads_with_queue_then_r3_stale():
             assert not seen_r5, (
                 f"{n} (r4-stale) ordered after an r5-fresh row"
             )
-    # every registered query is ledgered somewhere or in the window
+    # every registered query is ledgered somewhere, in the window, or an
+    # explicitly-declared r7-queue entry awaiting its first driver row
     r4 = set(json.load(open(_repo_file("CORRECTNESS_r04.json"))))
-    known = set(Q._R6_FRONT) | r3 | r4 | r5 | set(Q._DRIVER_LEDGERED_R02)
+    known = (
+        set(Q._R6_FRONT) | r3 | r4 | r5 | set(Q._DRIVER_LEDGERED_R02)
+        | set(Q._R7_QUEUE)
+    )
     missing = [n for n in names if n not in known]
     assert missing == [], f"queries with no driver row ever: {missing}"
+    # queue entries must not already be ledgered and must sit OUTSIDE the
+    # window (their slot is round 7's, not a wasted r6 one)
+    for n in Q._R7_QUEUE:
+        assert n in names and n not in window
+        assert n not in r3 | r4 | r5 | set(Q._DRIVER_LEDGERED_R02)
 
 
 def test_no_hugeint_oracle_outputs():
