@@ -1383,3 +1383,57 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(codes, cb, queries_df, topk=3, m=8, quantize=ANN_Q)
 
 
+
+
+@register(
+    "importance_resample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(SUM(({DUCK_HASH.format("word")} % 17) - 8) AS BIGINT) AS score
+  FROM w GROUP BY doc_id
+), wt AS (
+  SELECT d.doc_id, d.lang,
+         CAST(LEAST(990000, GREATEST(10000, 500000 + s.score * 1000))
+              AS BIGINT) AS weight_ppm
+  FROM documents d JOIN s USING (doc_id)
+)
+SELECT doc_id, lang, weight_ppm
+FROM wt
+WHERE {DUCK_HASH.format("'resample:' || CAST(doc_id AS VARCHAR)")}
+        % 1000000 < weight_ppm
+""",
+)
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling — the DCLM/FineWeb-style
+    curation move where each document's keep probability follows a model
+    score rather than a uniform coin.  The classifier score (the same
+    hashing-trick model quality_classifier ledgers, int64-exact) maps to an
+    integer keep weight in ppm, clamped to [1%, 99%] so no doc is
+    deterministically immortal or unsampleable; a doc survives iff the
+    salted hash of its id falls below its weight.  Entirely map-side: score,
+    weight, and verdict are projections — zero shuffle at any corpus size,
+    and re-runs / repartitioning cannot change the sample (hash, never
+    rand()).  Upsampling (weight > 1) composes by taking the hash mod k*1e6
+    and emitting floor + bernoulli-tail copies; the downsample path here is
+    the oracle-checked core."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = T.linear_classifier_score(F.col("text"))
+    weight = F.least(
+        F.lit(990000),
+        F.greatest(F.lit(10000), F.lit(500000) + score * 1000),
+    ).cast("long")
+    keep_hash = spark_hash(
+        F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))
+    ) % 1000000
+    return (
+        docs.select(
+            "doc_id", "lang", weight.alias("weight_ppm"),
+            keep_hash.alias("__h"),
+        )
+        .filter(F.col("__h") < F.col("weight_ppm"))
+        .drop("__h")
+    )

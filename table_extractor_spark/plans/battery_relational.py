@@ -1923,3 +1923,202 @@ def resource_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resource_list_lines(uris)
 
 
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — the EXISTS-decorrelation plan class: orders in a
+    date window that had at least one returned line, counted by priority.
+    Spark expresses the EXISTS as a LEFT SEMI join against the pre-filtered
+    lineitem projection (2 columns of 11 reach the scan), so the probe side
+    never duplicates orders rows no matter how many lines match; the
+    decorrelated semi is exactly what Catalyst rewrites a correlated EXISTS
+    into, declared directly.  At 100 TB this is a key-shuffled semi between
+    two date/flag-pruned fact projections — no fact is materialized wide."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+WITH thr AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_bal
+FROM customer, thr
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * thr.n > thr.total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-subquery threshold + NOT-EXISTS
+    decorrelation: above-average-balance customers with no order since
+    1999 (dormant accounts), grouped by nation.  Two decorrelations in one plan: the scalar
+    AVG attaches as a one-row broadcast (the sanctioned 1-row BNLJ — no
+    driver round-trip, threshold computed where the data is), and the NOT
+    EXISTS is a LEFT ANTI join against the single-column orders projection.
+    The avg comparison is cross-multiplied into exact DECIMAL arithmetic
+    (bal * n > total) so no float threshold can flip a boundary row between
+    engines.  At 100 TB: one pruned pass for the threshold, one anti-join
+    shuffle on the customer key — the anti probe side (orders custkeys) is
+    the only wide shuffle, and AQE may broadcast the filtered customer side
+    when the threshold is selective."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).alias("__total"),
+            F.count("*").cast("long").alias("__n"),
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        bal * F.col("__n") > F.col("__total")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.round(F.sum(bal).cast("double"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+WITH dim(event_type, category) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'revenue'), ('signup', 'acquisition'),
+         ('error', 'reliability')
+)
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(event_id) AS BIGINT) AS last_event
+FROM events JOIN dim USING (event_type)
+GROUP BY category
+""",
+)
+def salted_skew_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated dimension join (operators/skewjoin.salted_join): the
+    events fact joins its 5-value event_type dimension — the textbook hot
+    key: at 10^12 events a plain shuffle join puts ~2*10^11 'click' rows on
+    ONE reducer.  salted_join spreads each key over 8 deterministic salts
+    (hash of the unique event_id, never rand() — retries must re-salt
+    identically), replicating only the 5-row dim.  The oracle is the PLAIN
+    join: salting is physical, the answer provably identical (also pinned
+    row-level in tests/test_skewjoin.py)."""
+    from ..operators.skewjoin import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "acquisition"),
+            ("error", "reliability"),
+        ],
+        "event_type string, category string",
+    )
+    joined = salted_join(
+        events, dim, on="event_type", row_key="event_id", n_salts=8
+    )
+    return joined.groupBy("category").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.max("event_id").cast("long").alias("last_event"),
+    )
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+       CAST(LEAD(ts_us) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS INT)
+         AS is_current
+FROM c
+""",
+)
+def scd2_dimension_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event change log
+    (operators/scd.scd2_build): per-user state EPISODES with half-open
+    [valid_from, valid_to) validity intervals — consecutive repeats of the
+    same state collapse, the open episode is flagged current.  One shuffle
+    on the entity key serves both window passes; ties on ts break on the
+    unique event_id so retries cannot reorder same-timestamp events.
+    Timestamps compare as epoch micros per the engine-parity rules."""
+    from ..operators.scd import scd2_build
+
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        events,
+        entity_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak="event_id",
+    )
+    # ntz -> instant cast is deterministic and unix_micros applies
+    return dim.select(
+        "user_id",
+        "state",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        F.col("is_current").cast("int").alias("is_current"),
+    )

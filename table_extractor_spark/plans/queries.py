@@ -91,6 +91,11 @@ _R6_FRONT = _R6_QUEUE + _R3_STALE + ("extract_synthetic", "emit_triples")
 _R7_QUEUE = (
     "dedup_keep_best",
     "leakage_safe_split",
+    "q4_order_priority",
+    "q22_dormant_customers",
+    "salted_skew_join",
+    "scd2_dimension",
+    "importance_resample",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5
