@@ -2122,3 +2122,130 @@ def scd2_dimension_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("is_current").cast("int").alias("is_current"),
     )
+
+
+@register(
+    "zorder_layout_audit",
+    oracle="""
+WITH base AS (
+  SELECT GREATEST(0, epoch_us(ts) - 1704067200000000) AS v,
+         user_id AS y
+  FROM events
+), nd AS (
+  SELECT CAST((v - (v % 3600000000)) / 3600000000 AS BIGINT) AS x, y
+  FROM base
+), keyed AS (
+  SELECT x, y, ((((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19) + (((x >> 10) & 1) << 20) + (((y >> 10) & 1) << 21) + (((x >> 11) & 1) << 22) + (((y >> 11) & 1) << 23) + (((x >> 12) & 1) << 24) + (((y >> 12) & 1) << 25) + (((x >> 13) & 1) << 26) + (((y >> 13) & 1) << 27) + (((x >> 14) & 1) << 28) + (((y >> 14) & 1) << 29) + (((x >> 15) & 1) << 30) + (((y >> 15) & 1) << 31)) AS zkey
+  FROM nd
+)
+SELECT zkey >> 12 AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS min_hour, MAX(x) AS max_hour,
+       MIN(y) AS min_user, MAX(y) AS max_user
+FROM keyed GROUP BY file_id
+""",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit (operators/zorder): events keyed by the
+    bit-interleave of (hour-since-2024, user_id), bucketed into files by an
+    8-bit key prefix above bit 12, with the per-file min/max envelope per
+    dimension —
+    exactly the parquet-footer statistics a scan planner prunes with.  A
+    time-sorted layout prunes only time; the interleaved key's envelopes
+    stay narrow on BOTH axes (the Delta/Iceberg ZORDER BY rationale —
+    pinned quantitatively vs a single-column sort in tests/test_zorder.py).
+    Key and bucket are pure projections (zero shuffle); the audit is one
+    groupBy on <=256 file ids.  The interleave is plain shift/mask
+    arithmetic, replayed term-for-term by the oracle."""
+    from ..operators.zorder import layout_stats, zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = F.greatest(F.lit(0).cast("long"), us - F.lit(1704067200000000))
+    hour = ((v - F.pmod(v, F.lit(3600000000))) / F.lit(3600000000)).cast(
+        "long"
+    )
+    keyed = events.select(
+        hour.alias("x"), F.col("user_id").alias("y")
+    ).withColumn("zkey", zorder_key("x", "y", bits=16))
+    # shift 12: file buckets span the USED key range (hour <= 10 bits,
+    # user <= 11 bits across the fixtures -> key < 2^24, <= ~300 files)
+    return layout_stats(
+        keyed, "zkey",
+        dims={"hour": "x", "user": "y"},
+        file_bits=8, total_bits=20,
+    )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type
+), eps AS (
+  SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+         LEAD(ts_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+  FROM c
+), eff AS (
+  SELECT * FROM eps
+  WHERE valid_to_us IS NULL OR valid_to_us > valid_from_us
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, d.state
+FROM events e
+LEFT JOIN eff d
+  ON e.user_id = d.user_id
+ AND epoch_us(e.ts) >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR epoch_us(e.ts) < d.valid_to_us)
+""",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension — the warehouse
+    'fact joined to the dimension AS OF the event instant' query, composed
+    from two existing operators with no interval theta-join: since SCD2
+    episodes TILE each entity's timeline, the containing episode is exactly
+    the latest valid_from <= ts, i.e. a backward as-of join
+    (operators/asof.asof_join) of the fact to the episode-start table.
+    Zero-width episodes (two changes at one instant) hold at no instant and
+    are filtered before the join, which also makes (user, valid_from)
+    unique as the as-of contract requires.  The oracle is the honest
+    interval join against the replayed episode table — proving the as-of
+    rewrite IS the interval semantics.  Shape: both the dimension build and
+    the as-of are entity-key window passes — two shuffles end to end, no
+    range explosion, no BNLJ."""
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_build
+
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        events,
+        entity_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak="event_id",
+    )
+    eff = dim.filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    episodes = eff.select(
+        "user_id", F.col("valid_from").alias("ts"), "state"
+    )
+    enriched = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        episodes,
+        on="ts",
+        by="user_id",
+        value_cols=["state"],
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("right_state").alias("state"),
+    )

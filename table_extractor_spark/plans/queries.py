@@ -96,6 +96,8 @@ _R7_QUEUE = (
     "salted_skew_join",
     "scd2_dimension",
     "importance_resample",
+    "zorder_layout_audit",
+    "scd2_point_in_time",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5
