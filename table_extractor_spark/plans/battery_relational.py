@@ -2249,3 +2249,46 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.col("right_state").alias("state"),
     )
+
+
+@register(
+    "json_props_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL)
+            AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events table's JSON ``props`` column
+    parsed with a TYPED schema (``from_json`` — JVM-side Jackson inside
+    whole-stage codegen, the scale path) and rolled up per event type.
+    Typed parse beats per-row regex/string paths and beats schema-on-read
+    re-inference: at 10^12 rows the parse happens once per row map-side,
+    the aggregate is the only shuffle, and PERMISSIVE mode turns malformed
+    payloads into NULLs counted by ``n_missing`` instead of killing tasks
+    (malformed/missing-key/null parity pinned in
+    tests/test_json_extract.py; the oracle's fixture rows are all
+    well-formed so both engines agree on the clean path)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("__k").cast("long").alias("sum_k"),
+            F.min("__k").cast("long").alias("min_k"),
+            F.max("__k").cast("long").alias("max_k"),
+            F.count_if(F.col("__k").isNull()).cast("long").alias("n_missing"),
+        )
+    )

@@ -98,6 +98,7 @@ _R7_QUEUE = (
     "importance_resample",
     "zorder_layout_audit",
     "scd2_point_in_time",
+    "json_props_rollup",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5
