@@ -64,3 +64,47 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_big.join(salted_small, keys + [_SALT], how).drop(_SALT)
+
+
+def bloom_reduced_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    bits: int = 4096,
+    hashes: int = 3,
+) -> DataFrame:
+    """Inner equi-join where the big side is PREFILTERED map-side through a
+    Bloom sketch of the small side's keys before it ever shuffles — the
+    runtime-filter / semi-join-reduction pattern, made explicit and
+    oracle-checkable.
+
+    Why: when BOTH join sides are fact-sized (no broadcast), a plain SMJ
+    shuffles the full big side even if only a sliver of its keys match.
+    The Bloom set-bit table collapses to one broadcast array row
+    (<= ``bits`` elements); non-matching big rows die in their map task.
+    Bloom has NO false negatives, so no match is lost; false positives
+    (rate ~(1-e^{-kn/m})^k) just ride the shuffle and are dropped by the
+    exact join — the answer is EXACTLY the plain join at any bits/hashes.
+    At 10^12 rows this turns 'shuffle everything' into 'shuffle the
+    matching fraction plus epsilon'."""
+    from .sketches import bloom_bits, bloom_probe
+
+    bloom = bloom_bits(
+        small.select(F.col(small_key).cast("string").alias("key")),
+        key_col="key",
+        bits=bits,
+        hashes=hashes,
+    )
+    screened = (
+        bloom_probe(
+            bloom,
+            big.withColumn("__bk", F.col(big_key).cast("string")),
+            key_col="__bk",
+            bits=bits,
+            hashes=hashes,
+        )
+        .filter(F.col("bloom_hit") == 1)
+        .drop("bloom_hit", "__bk")
+    )
+    return screened.join(small, screened[big_key] == small[small_key], "inner")

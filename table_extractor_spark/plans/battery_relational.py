@@ -2292,3 +2292,85 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("__k").isNull()).cast("long").alias("n_missing"),
         )
     )
+
+
+@register(
+    "bloom_reduced_urgent_revenue",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+)
+def bloom_reduced_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter / semi-join-reduction pattern, explicit and
+    oracle-checked (operators/skewjoin.bloom_reduced_join): lineitem joins
+    the urgent-orders subset, but the big side is prefiltered MAP-SIDE
+    through a one-broadcast-row Bloom sketch of the matching keys before it
+    ever shuffles.  Bloom has no false negatives (no match lost) and the
+    exact join drops the false positives, so the answer is EXACTLY the
+    plain join — which is what the oracle runs.  At 10^12 rows with two
+    fact-sized sides this turns 'shuffle all of lineitem' into 'shuffle
+    the ~20% whose orders qualify, plus the FP epsilon'.  Equality under
+    forced SMJ and the filter-below-exchange plan shape are pinned in
+    tests/test_skewjoin.py."""
+    from ..operators.skewjoin import bloom_reduced_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_reduced_join(
+        li, urgent, big_key="l_orderkey", small_key="o_orderkey"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "cube_event_stats",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_bucket, user_id
+  FROM events
+)
+SELECT event_type, user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e
+GROUP BY CUBE (event_type, user_bucket)
+""",
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets lattice (GROUP BY CUBE): all four rollup combinations
+    of (event_type, user_bucket) in ONE pass — Catalyst's Expand operator
+    replicates each input row once per grouping set before a single
+    aggregate, so the lattice costs one shuffle, not four scans (the same
+    single-Expand rule the ROLLUP query pins).  NULL marks the rolled-up
+    level in both engines.  At scale prefer cube only over LOW-cardinality
+    dimension pairs: Expand multiplies shuffle rows by the number of
+    grouping sets."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("user_bucket"),
+        "user_id",
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -99,6 +99,8 @@ _R7_QUEUE = (
     "zorder_layout_audit",
     "scd2_point_in_time",
     "json_props_rollup",
+    "bloom_reduced_urgent_revenue",
+    "cube_event_stats",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

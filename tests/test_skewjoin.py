@@ -84,3 +84,54 @@ def test_rejects_unsupported_shapes(spark):
         salted_join(
             big.withColumn("__salt", F.lit(1)), small, on="k", row_key="rid"
         )
+
+
+def _bloom_fixture(spark):
+    big = spark.createDataFrame(
+        [(i, i % 50, f"p{i}") for i in range(400)], "rid long, k long, pay string"
+    )
+    small = spark.createDataFrame(
+        [(j,) for j in range(5)], "sk long"  # 10% of keys match
+    )
+    return big, small
+
+
+def test_bloom_reduced_join_equals_plain_join_under_smj(spark):
+    from table_extractor_spark.operators.skewjoin import bloom_reduced_join
+
+    big, small = _bloom_fixture(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        reduced = bloom_reduced_join(big, small, big_key="k", small_key="sk")
+        got = sorted(
+            (r["rid"], r["k"], r["pay"], r["sk"]) for r in reduced.collect()
+        )
+        plan = reduced._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    plain = big.join(small, big.k == small.sk, "inner")
+    want = sorted((r["rid"], r["k"], r["pay"], r["sk"]) for r in plain.collect())
+    assert got == want  # no false negatives, FPs dropped by the exact join
+    # the map-side screen is in the plan (the point of the operator)
+    assert "array_contains" in plan
+
+
+def test_bloom_screen_actually_reduces_the_shuffled_side(spark):
+    from table_extractor_spark.operators.sketches import bloom_bits, bloom_probe
+    from pyspark.sql import functions as F
+
+    big, small = _bloom_fixture(spark)
+    bloom = bloom_bits(
+        small.select(F.col("sk").cast("string").alias("key")),
+        key_col="key", bits=4096, hashes=3,
+    )
+    screened = bloom_probe(
+        bloom, big.withColumn("__bk", F.col("k").cast("string")),
+        key_col="__bk", bits=4096, hashes=3,
+    ).filter(F.col("bloom_hit") == 1)
+    n_big, n_screened = big.count(), screened.count()
+    n_true = big.join(small, big.k == small.sk, "left_semi").count()
+    assert n_true <= n_screened < n_big  # superset of matches, real cut
+    assert n_screened <= n_true * 2  # FP rate sane at these parameters
