@@ -2374,3 +2374,36 @@ def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "entity_match_pairs",
+    oracle="""
+SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.blocked_match_pairs): fuzzy-match
+    candidate part pairs — blocked on (brand, size) so the all-pairs O(n^2)
+    collapses to sum-of-squared-block-sizes (a plain equi-self-join hash
+    join), then verified with Levenshtein <= 4 INSIDE the join projection.
+    Both engines ship the identical classical edit distance, so the oracle
+    replays the verify exactly.  At 10^12 records the guard matters more
+    than the join: `max_block_size` + the `oversized_blocks` audit (pinned
+    in tests/test_linkage.py) keep one degenerate block from re-creating
+    the quadratic blowup — the same cap contract as the LSH dedup path."""
+    from ..operators.linkage import blocked_match_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return blocked_match_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=("p_brand", "p_size"),
+        max_distance=4,
+    )

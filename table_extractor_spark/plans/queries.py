@@ -101,6 +101,7 @@ _R7_QUEUE = (
     "json_props_rollup",
     "bloom_reduced_urgent_revenue",
     "cube_event_stats",
+    "entity_match_pairs",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5
