@@ -34,8 +34,6 @@ in full.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.scd import scd2_build
@@ -75,13 +73,21 @@ def merge_scd2_batch(
     touched = ev.select(
         _bucket(F.col("entity"), n_buckets).alias("bucket")
     ).distinct()
-    have_store = os.path.isdir(dim_dir) and any(
-        e.startswith("bucket=") for e in os.listdir(dim_dir)
-    )
-    if have_store:
+    # detect the store by READING it, never by local-FS listing — an
+    # os.listdir probe answers False for hdfs://-style paths and a
+    # falsely-absent store would overwrite affected buckets losing their
+    # history.  A missing path is the one legitimate bootstrap case.
+    try:
+        # the parquet read lists the path eagerly — a missing store
+        # throws HERE, not at first action
         store = spark.read.schema(DIM_SCHEMA).parquet(dim_dir)
         affected = store.join(F.broadcast(touched), "bucket", "inner")
-    else:
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+        if (
+            "PATH_NOT_FOUND" not in str(exc)
+            and "Path does not exist" not in str(exc)
+        ):
+            raise
         affected = spark.createDataFrame([], DIM_SCHEMA)
 
     # monotonicity guard: an event strictly below its entity's open episode
