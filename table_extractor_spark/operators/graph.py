@@ -122,3 +122,119 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED edge list
+    (rows must be distinct canonical pairs, src < dst, no self-loops).
+
+    The MapReduce-classic degree-ordered edge-iterator (Schank & Wagner
+    2005; Suri & Vassilvitskii WWW 2011): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build wedges
+    by self-joining the oriented list on the source, and close each wedge
+    with one more equi-join.  The orientation is the whole scale story —
+    it bounds every node's out-degree by O(sqrt(m)) regardless of how
+    skewed the raw degree distribution is, so the wedge join emits
+    sum(outdeg^2) = O(m^1.5) rows worst-case instead of the hub-quadratic
+    blowup a naive neighbor join suffers on a power-law graph.  Three
+    shuffles end to end (degree groupBy, wedge self-join, closing join);
+    every comparison is explicit (deg, id) tuple logic so the DuckDB
+    oracle replays the same orientation bit-for-bit.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle; each triangle
+    increments all three corners."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).persist()
+    e1 = oriented.select(
+        F.col("s"), F.col("t").alias("a"), F.col("dt").alias("da")
+    )
+    e2 = oriented.select(
+        F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db")
+    )
+    wedges = e1.join(e2, "s").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("b")
+    )
+    tris = wedges.join(closing, ["a", "b"]).select("s", "a", "b")
+    corners = (
+        tris.select(F.col("s").alias("node"))
+        .union(tris.select(F.col("a").alias("node")))
+        .union(tris.select(F.col("b").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def k_hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """BFS hop distance (0..k) from a seed node set over a DIRECTED edge
+    list: (node, hop) with hop = the MINIMUM number of edges from any
+    seed, nodes beyond k hops absent.  ``seeds`` is a one-column
+    DataFrame named ``node`` (kept distributed — a frontier is data, not
+    driver state).
+
+    Each round is the Pregel BFS superstep as two DataFrame ops: join the
+    frontier onto the out-edge list (expand), then LEFT ANTI against the
+    visited set (the dedup that makes hop = shortest distance and, more
+    importantly at scale, keeps the frontier from re-exploding into
+    already-settled regions — without it a dense graph's frontier grows
+    as paths, not nodes).  Frontiers persist for the one round they back
+    two plans (expansion + union) and are dropped after; the visited
+    accumulator is localCheckpoint-truncated every ``checkpoint_every``
+    hops so deep walks don't build an O(k)-deep lineage tree (shallow
+    walks, the common case, keep their fully declarative plan).  No
+    driver traffic inside the loop."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    frontier = seeds.select("node").distinct().persist()
+    visited = frontier.withColumn("hop", F.lit(0).cast("long"))
+    out = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(out, frontier["node"] == out["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        prev = frontier
+        visited = visited.union(nxt.withColumn("hop", F.lit(h).cast("long")))
+        if h % checkpoint_every == 0 and h < k:
+            visited = visited.localCheckpoint(eager=False)
+        prev.unpersist()
+        frontier = nxt
+    frontier.unpersist()
+    return visited
