@@ -1437,3 +1437,111 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__h") < F.col("weight_ppm"))
         .drop("__h")
     )
+
+
+@register(
+    "stratified_sample_salted",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {DUCK_HASH.format("'sample:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+def stratified_sample_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-PROOF rewrite of `stratified_sample`, same answer by
+    construction (the oracle IS the single-window formulation): exact
+    top-k-by-hash per language via TWO phases — rank within (lang,
+    salt-bucket) sub-partitions first and keep k locally, then rank the
+    <= k*64 survivors per language.  Single-window group top-k is the
+    classic low-cardinality trap: with 5 languages over 10^12 docs, one
+    window drags a fifth of the corpus through one partition's sort.
+    Phase 1 splits every language across 64 salt buckets (the sub-sorts
+    parallelize and each emits at most k rows), so phase 2 sorts a
+    bounded candidate table — the distributed-TopK rewrite engines apply
+    to ORDER BY/LIMIT, expressed for grouped sampling.  Correct because
+    the global top-k of a union is contained in the union of per-bucket
+    top-ks.  Salt = pmod(doc hash, 64): deterministic, so reruns and
+    repartitions keep the identical sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = spark_hash(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    )
+    base = docs.select("doc_id", "lang", h.alias("__h"))
+    local = Window.partitionBy(
+        "lang", F.pmod(F.col("__h"), F.lit(64))
+    ).orderBy("__h", "doc_id")
+    survivors = base.withColumn(
+        "__lrk", F.row_number().over(local)
+    ).filter(F.col("__lrk") <= 20)
+    final = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(final).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+@register(
+    "bigram_fluency_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), bgs AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), cnt AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bgs GROUP BY bg
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c.c) // COUNT(*) AS BIGINT) AS mean_bigram_freq
+FROM bgs b JOIN cnt c USING (bg)
+GROUP BY b.doc_id
+""",
+)
+def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistic join-back scoring — the LM-free fluency proxy:
+    each document's mean corpus frequency of its own bigrams (texts made
+    of conventional word transitions score high; gibberish, boilerplate
+    keyboard-mash, and wrong-language fragments score low — the cheap
+    stand-in for perplexity filtering when no LM is in the loop, cf. the
+    heuristic tier of CCNet/Gopher-style pipelines).  Integer-exact end
+    to end: frequencies are corpus COUNTS, the score their truncated
+    integer mean, so both engines agree bit-for-bit — no logs, no floats.
+    Shape: one explode -> one bigram groupBy (vocab-bounded, partial
+    map-side combine) -> one equi-join of occurrences onto their own
+    frequency table -> one per-doc groupBy.  The bigram table is the only
+    wide shuffle, and a hot bigram ('of the') is a broadcast-side skew
+    problem only if the frequency table is force-broadcast — it is not;
+    AQE's skew-join handles the join at scale.  Tokenization matches the
+    engine-wide rule: whitespace split, empty tokens filtered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("t"),
+    )
+    bgs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(t, slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+            )
+        ).alias("bg"),
+    )
+    cnt = bgs.groupBy("bg").agg(F.count("*").cast("long").alias("c"))
+    return (
+        bgs.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(c) div count(*) AS BIGINT)").alias(
+                "mean_bigram_freq"
+            ),
+        )
+    )

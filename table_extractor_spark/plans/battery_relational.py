@@ -2407,3 +2407,545 @@ def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("p_brand", "p_size"),
         max_distance=4,
     )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 1800 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 1800 DAY)
+GROUP BY s.s_name
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT EXISTS double decorrelation, the
+    hardest of the classic subquery classes: lines in finalized orders that
+    shipped very late (> 1800 days after the order date, the analogue of
+    Q21's receipt>commit predicate on this schema), where the order HAD
+    other suppliers (EXISTS -> LEFT SEMI) but NO other supplier was also
+    late (NOT EXISTS -> LEFT ANTI), counted per supplier name.  One fact
+    table probed three ways: the late-line driver plus two single-purpose
+    (orderkey, suppkey[, shipdate]) projections for the semi and anti
+    probes — all three shuffles key on l_orderkey, so a cluster that
+    bucketed lineitem by orderkey runs the whole query shuffle-free.  The
+    suppkey-inequality legs ride INSIDE the equi-join condition (hash join
+    on orderkey, residual filter), never a theta join.  Supplier is the
+    only broadcast-size side.  At 100 TB nothing here materializes wide:
+    the widest row is 3 columns of 11."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 1800 DAY")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late = late.join(
+        others,
+        (F.col("ok2") == F.col("l_orderkey"))
+        & (F.col("sk2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    late_others = li.join(
+        orders.select(
+            F.col("o_orderkey").alias("ok3"),
+            F.col("o_orderdate").alias("od3"),
+        ),
+        F.col("l_orderkey") == F.col("ok3"),
+    ).filter(
+        F.col("l_shipdate") > F.col("od3") + F.expr("INTERVAL 1800 DAY")
+    ).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole = late.join(
+        late_others,
+        (F.col("ok3") == F.col("l_orderkey"))
+        & (F.col("sk3") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(supp, sole["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — outer-join count distribution: how many customers
+    placed 0, 1, 2, ... non-urgent orders.  The semantics trap this query
+    exists to pin is the predicate PLACEMENT: the priority filter lives in
+    the LEFT JOIN's ON clause, not a WHERE — a WHERE would silently drop
+    the zero-order customers that are the whole point of the histogram
+    (COUNT(o_orderkey) counts only matched rows; NULL keys from the outer
+    join count 0).  Two aggregations: the per-customer count shuffles on
+    the join key it already has (one exchange reused), the distribution
+    groupBy collapses to at most a few hundred distinct counts — a
+    broadcast-size result no matter the corpus.  At 100 TB the first
+    groupBy is the only real shuffle and AQE coalesces the second."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS order_date_us,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — the HAVING-on-a-fact-aggregate pattern: orders
+    whose total line quantity exceeds 300 units, enriched with the
+    customer.  The aggregate-then-join order is the scale decision: the
+    300-unit HAVING collapses the fact table to a tiny qualifying set
+    BEFORE any join, so the orders and customer joins probe with
+    thousands of rows, not billions — the same reason Q18's classic plan
+    aggregates lineitem first.  No broadcast hint on the aggregate: it is
+    selective here but scales with the fact table, so AQE decides (the
+    q5/q17 lesson).  Quantities are integral in this corpus, so the sum
+    is exact BIGINT arithmetic in both engines — no float accumulation
+    order to diverge on."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_date_us"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+# Shared edge list for the graph-analytics queries: parts that co-occur in
+# >= 2 distinct orders (the weight floor keeps one-off co-purchases out, so
+# the graph is sparse and the analytics are over repeated affinity, not
+# noise).  Canonical undirected pairs, x < y.
+_DUCK_PART_EDGES = """pw AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+)"""
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _DUCK_PART_EDGES: one self-equi-join on the order
+    key (bounded per order by lines-per-order, never quadratic in parts)
+    and one partial-agg'd pair groupBy with the weight->=2 floor."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    return (
+        li.join(
+            b,
+            (li["l_orderkey"] == F.col("ok2"))
+            & (li["l_partkey"] < F.col("pk2")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("x"), F.col("pk2").alias("y")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("x", "y")
+    )
+
+
+@register(
+    "part_triangle_counts",
+    oracle=f"""
+WITH {_DUCK_PART_EDGES},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT x AS node FROM pw UNION ALL SELECT y AS node FROM pw) t
+  GROUP BY node
+), ed AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt
+  FROM (SELECT pw.x AS u, pw.y AS v, d1.deg AS du, d2.deg AS dv
+        FROM pw JOIN deg d1 ON d1.node = pw.x
+                JOIN deg d2 ON d2.node = pw.y) j
+), tri AS (
+  SELECT e1.s AS s, e1.t AS a, e2.t AS b
+  FROM ed e1 JOIN ed e2 ON e1.s = e2.s
+   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+  JOIN ed e3 ON e3.s = e1.t AND e3.t = e2.t
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT s AS node FROM tri UNION ALL SELECT a AS node FROM tri
+      UNION ALL SELECT b AS node FROM tri) c
+GROUP BY node
+""",
+)
+def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.triangle_counts) over the part
+    co-purchase graph: per-part triangle participation — the local
+    clustering signal behind community detection and recommendation
+    diversity.  The degree-ordered edge-iterator (Schank & Wagner 2005;
+    Suri & Vassilvitskii WWW 2011) is the 100-TB story: orienting each
+    edge toward its higher-(degree, id) endpoint caps every out-degree at
+    O(sqrt(m)), so the wedge self-join stays O(m^1.5) even on a power-law
+    degree distribution where the naive neighbor join is quadratic in the
+    hub degree.  Every orientation comparison is explicit (deg, id) tuple
+    logic the oracle replays verbatim; the edge list itself is the shared
+    weight->=2 co-occurrence CTE."""
+    from ..operators.graph import triangle_counts
+
+    edges = _part_edges(spark, sf_dir)
+    return triangle_counts(edges, src="x", dst="y")
+
+
+@register(
+    "part_k_hop_frontier",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_PART_EDGES},
+e AS (
+  SELECT x AS src, y AS dst FROM pw
+  UNION ALL
+  SELECT y AS src, x AS dst FROM pw
+),
+r(node, hop) AS (
+  SELECT MIN(src), 0 FROM e
+  UNION
+  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node WHERE r.hop < 3
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM r GROUP BY node
+""",
+)
+def part_k_hop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS (operators/graph.k_hop_distances): minimum hop distance
+    (<= 3) from the lowest-keyed part over the undirected co-purchase
+    graph — the reachability primitive behind related-item expansion and
+    blast-radius queries.  Spark runs the Pregel BFS loop (frontier join
+    + LEFT ANTI dedup per superstep, zero driver traffic — even the seed
+    is a one-row DataFrame, not a collect); the oracle is the textbook
+    recursive CTE whose UNION dedup makes MIN(hop) the shortest distance.
+    The anti-join is the scale keystone: without it a dense graph's
+    frontier re-expands into settled regions and grows as paths instead
+    of nodes."""
+    from ..operators.graph import k_hop_distances
+
+    pw = _part_edges(spark, sf_dir)
+    edges = pw.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).union(pw.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    seeds = edges.agg(F.min("src").alias("node"))
+    return k_hop_distances(edges, seeds, k=3)
+
+
+@register(
+    "daily_trend_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), xs AS (
+  SELECT event_type,
+         day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS x,
+         n
+  FROM daily
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(n) AS BIGINT) AS sy,
+         CAST(SUM(x * n) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xs GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST((1000000 * (n_days * sxy - sx * sy))
+                      // (n_days * sxx - sx * sx) AS BIGINT)
+       END AS slope_ppm
+FROM s
+""",
+)
+def daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise least-squares trend: the OLS slope of daily event volume
+    per event type, in counts-per-day ppm — the ingest-drift detector
+    ("is this source ramping or dying?") behind crawl scheduling and
+    mixture re-weighting.  The whole regression is four integer sums over
+    the DAILY table (bounded by elapsed days x types, not events), so the
+    corpus-sized work is one partial-agg'd groupBy; the slope itself is
+    the closed form 1e6*(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) in exact int64
+    with x re-based per group (x = day - min(day), keeping products tiny).
+    Division parity for NEGATIVE (declining) slopes: Spark's `div` and
+    DuckDB's INTEGER `//` both truncate toward zero (DuckDB floors only
+    for floats: -7 // 2 = -3 as integers), so the plain quotient agrees —
+    unlike the timestamp-bucket queries, where the dividend is made
+    exactly divisible first and the distinction vanishes.  A single-day
+    group has zero variance and honestly yields NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    xs = daily.select(
+        "event_type",
+        (
+            F.col("day_idx")
+            - F.min("day_idx").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+        "n",
+    )
+    s = xs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("n").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("n")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n_days",
+        F.when(
+            den != 0,
+            F.expr(
+                "CAST((1000000 * (n_days * sxy - sx * sy))"
+                " div (n_days * sxx - sx * sx) AS BIGINT)"
+            ),
+        ).alias("slope_ppm"),
+    )
+
+
+@register(
+    "range_frame_hourly_load",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT event_type, hour_idx, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_6h
+FROM hourly
+""",
+)
+def range_frame_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based window frames (RANGE, not ROWS): the 6-hour rolling
+    load over busy hours only — the >=3 floor makes the hour axis SPARSE,
+    which is exactly when RANGE and ROWS diverge: a ROWS frame would leap
+    quiet gaps and sum six busy hours spread over days, while the RANGE
+    frame bounds the window by the hour VALUE, summing only hours within
+    the trailing clock window whether or not they are adjacent rows.
+    This is the correct frame for any time-decayed metric over
+    irregularly-sampled series (crawl rates, error budgets, token
+    burn-down).  Cost model: the frame runs over the HOURLY table —
+    bounded by elapsed hours x types, not events — so the per-type window
+    sort is bounded by construction; the corpus-sized work is one
+    partial-agg'd groupBy.  The hour bucket is integer epoch-microsecond
+    floor division (timestamp-parity convention shared with
+    event_rate_spikes)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(cast(ts as timestamp))"
+                " - pmod(unix_micros(cast(ts as timestamp)), 3600000000))"
+                " div 3600000000"
+            ).alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-5, 0)
+    )
+    return hourly.withColumn(
+        "rolling_6h", F.sum("n").over(w).cast("long")
+    )
+
+
+@register(
+    "q15_top_revenue_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), mx AS (SELECT MAX(total_rev) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(rev.total_rev AS DOUBLE), 2) AS total_revenue
+FROM rev, mx
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = mx.m
+""",
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the view-then-max pattern: quarterly revenue per
+    supplier, keeping every supplier TIED at the maximum (the reason Q15
+    cannot be a LIMIT 1: ties must all survive).  The max attaches as the
+    sanctioned one-row broadcast and the equality test runs on the EXACT
+    DECIMAL sums — comparing rounded doubles for equality is how a tie
+    silently drops on one engine and not the other; rounding happens only
+    in the projection.  At 100 TB: one date-pruned fact pass partial-agg'd
+    to a supplier-sized table, one scalar reduction over that table, and a
+    dimension join on the handful of winners — the fact never shuffles
+    twice."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+SELECT l_partkey, best_price, best_suppkey FROM (
+  SELECT l_partkey, l_extendedprice AS best_price, l_suppkey AS best_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM lineitem
+) t WHERE rn = 1
+""",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated core — argmin per group — WITHOUT a window:
+    `min(struct(price, suppkey))` per part.  Struct-min is lexicographic,
+    so the struct carries (price, then suppkey) and the suppkey doubles as
+    the deterministic tie-break.  The scale point is partial aggregation:
+    a window formulation shuffles EVERY fact row to sort it inside its
+    group, while agg-min combines map-side to ONE candidate per part per
+    partition before the exchange — at 10^12 rows that is the difference
+    between shuffling the corpus and shuffling the part dimension.  The
+    oracle runs the honest ROW_NUMBER formulation, proving the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_suppkey"
+    )
+    m = li.groupBy("l_partkey").agg(
+        F.min(
+            F.struct(
+                F.col("l_extendedprice").alias("p"),
+                F.col("l_suppkey").alias("s"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "l_partkey",
+        F.col("m.p").alias("best_price"),
+        F.col("m.s").alias("best_suppkey"),
+    )

@@ -102,6 +102,17 @@ _R7_QUEUE = (
     "bloom_reduced_urgent_revenue",
     "cube_event_stats",
     "entity_match_pairs",
+    "q21_sole_late_supplier",
+    "q13_order_distribution",
+    "q18_large_volume_orders",
+    "part_triangle_counts",
+    "part_k_hop_frontier",
+    "daily_trend_slope",
+    "range_frame_hourly_load",
+    "stratified_sample_salted",
+    "q15_top_revenue_supplier",
+    "cheapest_supplier_per_part",
+    "bigram_fluency_score",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -522,3 +522,61 @@ def test_sketch_queries_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_round6_relational_queries_plan_shape(spark):
+    """The r6 relational additions stay scale-right: Q21's EXISTS / NOT
+    EXISTS decorrelate to semi/anti HASH joins on the order key (never a
+    theta product — the suppkey inequality is a residual inside the
+    equi-join), Q13's priority filter survives as an ON-clause condition
+    of a real outer join (zero-order customers intact), and Q18
+    aggregates the fact table BEFORE any join with no forced broadcast
+    of the linearly-growing aggregate."""
+    from table_extractor_spark.plans import queries as Q
+
+    q = Q.queries()
+    plan = formatted(q["q21_sole_late_supplier"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+    plan = formatted(q["q13_order_distribution"](spark, SF))
+    assert "LeftOuter" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = formatted(q["q18_large_volume_orders"](spark, SF))
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the q5/q17 lesson: the qualifying-order aggregate grows with the
+    # fact table, so the plan must not carry a FORCED broadcast hint
+    import inspect
+
+    from table_extractor_spark.plans import battery_relational as BR
+
+    src = inspect.getsource(BR.q18_large_volume_orders)
+    assert "F.broadcast(" not in src and "broadcast(" not in src.replace(
+        "F.broadcast(", ""
+    )
+
+
+def test_round6_graph_queries_plan_shape(spark):
+    """Graph queries stay scale-right: triangle counting is equi-joins
+    end to end (degree orientation bounds the wedge fan-out; a theta or
+    nested-loop join would be the quadratic trap), and the BFS loop is
+    hash joins + anti joins with zero Python and zero driver collects in
+    the loop body (the seed is a one-row DataFrame)."""
+    from table_extractor_spark.plans import queries as Q
+
+    q = Q.queries()
+    plan = formatted(q["part_triangle_counts"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+    plan = formatted(q["part_k_hop_frontier"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

@@ -154,3 +154,233 @@ def test_count_min_sketch_heavy_hitter_bound(spark):
         est = cms.estimateCount(uid)
         assert est >= n  # CMS never undercounts
         assert est - n <= 0.001 * n_total + 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch: trend slope, RANGE frames, salted two-phase sampling
+# ---------------------------------------------------------------------------
+
+
+def _events_dir(spark, tmp_path, rows):
+    """Write a minimal events.parquet a registered query can load."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_daily_trend_slope_exact_lines(spark, tmp_path):
+    """A perfectly linear decline (10, 8, 6, 4 events on days 0..3) must
+    yield slope exactly -2,000,000 ppm; a single-day type has zero
+    variance and yields NULL."""
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    for day, n in enumerate([10, 8, 6, 4]):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1 + day, 12, 0, 0), 1, "down", 0.0, "{}")
+            )
+    for _ in range(5):
+        eid += 1
+        rows.append((eid, datetime(2024, 3, 1, 9, 0, 0), 1, "flat1d", 0.0, "{}"))
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        r["event_type"]: (r["n_days"], r["slope_ppm"])
+        for r in Q.queries()["daily_trend_slope"](spark, d).collect()
+    }
+    assert got["down"] == (4, -2_000_000)
+    assert got["flat1d"] == (1, None)
+
+
+def test_daily_trend_slope_negative_truncates_like_duckdb(spark, tmp_path):
+    """A non-divisible negative quotient must truncate toward zero (both
+    engines' integer-division semantics), pinned against an independent
+    Python replay."""
+    from datetime import datetime
+
+    counts = [7, 5, 4]  # slope = -3/2 exactly -> num/den non-divisible
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 3, 1 + day, 12), 1, "t", 0.0, "{}")
+            )
+    d = _events_dir(spark, tmp_path, rows)
+    n_days = len(counts)
+    xs = list(range(n_days))
+    sx, sy = sum(xs), sum(counts)
+    sxy = sum(x * y for x, y in zip(xs, counts))
+    sxx = sum(x * x for x in xs)
+    num = 1_000_000 * (n_days * sxy - sx * sy)
+    den = n_days * sxx - sx * sx
+    expected = -((-num) // den) if num < 0 else num // den  # truncate
+    assert expected == -1_500_000
+    from table_extractor_spark.plans import queries as Q
+
+    row = Q.queries()["daily_trend_slope"](spark, d).collect()[0]
+    assert row["slope_ppm"] == expected
+
+
+def test_range_frame_differs_from_rows_over_gaps(spark, tmp_path):
+    """Busy hours at 0, 1, then a quiet gap, then 9: the RANGE frame for
+    hour 9 must contain ONLY hour 9 (hours 0/1 are outside the trailing
+    6-hour clock window), where a ROWS frame would have leapt the gap and
+    summed all three."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for hour, n in [(0, 4), (1, 3), (9, 5)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, base + timedelta(hours=hour), 1, "t", 0.0, "{}")
+            )
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    out = {
+        int(r["hour_idx"]) % 24: r["rolling_6h"]
+        for r in Q.queries()["range_frame_hourly_load"](spark, d).collect()
+    }
+    assert out[0] == 4
+    assert out[1] == 7  # hours 0+1 inside the trailing window
+    assert out[9] == 5  # gap: hours 0/1 beyond 5 PRECEDING by VALUE
+
+
+def test_salted_sample_equals_single_window_sample(spark):
+    """The two-phase salted top-k must select EXACTLY the rows of the
+    single-window formulation — the rewrite is physical, not semantic."""
+    from table_extractor_spark.plans import queries as Q
+
+    q = Q.queries()
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in q["stratified_sample"](spark, sf).collect()
+    }
+    salted = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in q["stratified_sample_salted"](spark, sf).collect()
+    }
+    assert plain == salted and len(plain) == 100
+
+
+def _lineitem_dir(spark, tmp_path, rows):
+    """Write minimal lineitem/supplier parquet for the Q15-shape tests."""
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(s, f"Supplier#{s}", 0, 0.0) for s in {r[2] for r in rows}],
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    )
+    d = str(tmp_path / "sf")
+    li.coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    supp.coalesce(1).write.parquet(f"{d}/supplier.parquet")
+    return d
+
+
+def test_q15_keeps_all_tied_maximum_suppliers(spark, tmp_path):
+    """Two suppliers with EXACTLY equal quarterly revenue must both
+    survive — the reason Q15 is max-equality, not LIMIT 1 — and the tie
+    is tested on the exact DECIMAL sums, not rounded doubles."""
+    from datetime import datetime
+
+    mk = lambda sk, price, disc: (  # noqa: E731
+        1, 1, sk, 1, 1.0, price, disc, 0.0, "N", "O",
+        datetime(1996, 2, 1),
+    )
+    rows = [
+        mk(1, 100.00, 0.0),
+        mk(1, 50.00, 0.0),
+        # supplier 2 reaches the same 150.00 via a discounted line
+        mk(2, 200.00, 0.25),
+        # supplier 3 is strictly below
+        mk(3, 149.99, 0.0),
+        # out-of-window line for supplier 3 must not count
+        (1, 1, 3, 2, 1.0, 1000.0, 0.0, 0.0, "N", "O", datetime(1995, 6, 1)),
+    ]
+    d = _lineitem_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        (r["s_suppkey"], r["total_revenue"])
+        for r in Q.queries()["q15_top_revenue_supplier"](spark, d).collect()
+    }
+    assert got == {(1, 150.0), (2, 150.0)}
+
+
+def test_cheapest_supplier_argmin_partial_aggregates(spark):
+    """The argmin-per-group rewrite must be an aggregate (map-side
+    partial_min before the exchange), never a window sort of the fact."""
+    from table_extractor_spark.plans import queries as Q
+
+    df = Q.queries()["cheapest_supplier_per_part"](
+        spark, "/root/testdata/sf0.001"
+    )
+    qe = df._jdf.queryExecution()
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        qe, "formatted"
+    )
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cheapest_supplier_tie_breaks_on_suppkey(spark, tmp_path):
+    from datetime import datetime
+
+    rows = [
+        (1, 7, 9, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1996, 2, 1)),
+        (2, 7, 4, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1996, 2, 1)),
+        (3, 7, 5, 1, 1.0, 11.0, 0.0, 0.0, "N", "O", datetime(1996, 2, 1)),
+    ]
+    d = _lineitem_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    row = Q.queries()["cheapest_supplier_per_part"](spark, d).collect()[0]
+    assert (row["l_partkey"], row["best_price"], row["best_suppkey"]) == (
+        7, 10.0, 4,
+    )
+
+
+def test_bigram_fluency_edge_docs(spark, tmp_path):
+    """Zero- and one-token docs emit no bigrams (absent from the output);
+    doubled spaces do not mint empty-token bigrams; and the score is the
+    truncated integer mean of corpus bigram counts."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en", "s", 11),
+            (2, "the cat  sat", "en", "s", 12),  # doubled space, same bigrams
+            (3, "single", "en", "s", 6),
+            (4, "", "en", "s", 0),
+            (5, "the dog", "en", "s", 7),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_bigram_freq"])
+        for r in Q.queries()["bigram_fluency_score"](spark, d).collect()
+    }
+    # corpus counts: 'the cat'=2, 'cat sat'=2, 'the dog'=1
+    assert got == {1: (2, 2), 2: (2, 2), 5: (1, 1)}
