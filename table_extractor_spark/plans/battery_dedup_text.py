@@ -406,6 +406,43 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH fv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE label = 1),
+q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {_DUCK_COS} AS cos_sim
+  FROM q, fv v WHERE q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 3
+""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the production ANN shape ("top-k
+    among label=1 only"): the predicate is applied to the corpus BEFORE
+    the similarity computation, i.e. pre-filtering.  The ordering is the
+    whole point: post-filtering (top-k first, then drop non-matching
+    neighbors) silently returns FEWER than k results whenever the true
+    neighbors are mostly outside the filter — the classic filtered-ANN
+    recall bug.  Pre-filtering keeps exactness at any selectivity, and in
+    Spark it is free: the label predicate pushes into the parquet scan
+    (PushedFilters, pinned), so at 10^12 vectors the filter prunes row
+    groups BEFORE a single dot product; the filtered corpus then flows
+    through the same broadcast-queries brute-force kernel as
+    embedding_cosine_topk.  The IVF analogue (filter inside each probed
+    list) composes the same way over ann_ivf_probed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == 1)
+    return S.brute_force_topk(corpus, emb.filter(F.col("vec_id") < 10), k=3)
+
+
 # near-dup candidate generation parameters (shared Spark <-> DuckDB)
 NDUP_PLANES = 4
 NDUP_TABLES = 8

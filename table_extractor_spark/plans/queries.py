@@ -113,6 +113,7 @@ _R7_QUEUE = (
     "q15_top_revenue_supplier",
     "cheapest_supplier_per_part",
     "bigram_fluency_score",
+    "ann_filtered_topk",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -580,3 +580,16 @@ def test_round6_graph_queries_plan_shape(spark):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_ann_filtered_topk_pushes_filter_and_broadcasts_queries(spark):
+    """Filtered vector search must PRE-filter: the label predicate reaches
+    the parquet scan (row-group pruning at 10^12 vectors), and the query
+    side stays the broadcast — never a corpus-sized shuffle."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["ann_filtered_topk"](spark, SF))
+    assert "EqualTo(label,1)" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

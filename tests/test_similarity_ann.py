@@ -167,3 +167,36 @@ def test_quantized_ivf_is_partition_invariant(spark):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     assert run(2) == run(17)
+
+
+def test_filtered_topk_prefilter_beats_postfilter(spark):
+    """The pin that justifies the operator: on vectors where the true
+    top-k are mostly OUTSIDE the filter, post-filtering the unfiltered
+    top-k returns fewer than k matches while pre-filtering still returns
+    a full k — and every pre-filtered neighbor satisfies the predicate."""
+    from pyspark.sql import functions as F
+
+    from table_extractor_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("label") == 1)
+    pre = brute_force_topk(corpus, queries, k=3).collect()
+    assert len(pre) == 10 * 3
+    allowed = {
+        r["vec_id"] for r in corpus.select("vec_id").collect()
+    }
+    assert all(r["neighbor_id"] in allowed for r in pre)
+    # post-filter comparison: unfiltered top-3 then drop non-label-1 rows
+    post = (
+        brute_force_topk(emb, queries, k=3)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .filter(F.col("label") == 1)
+        .collect()
+    )
+    # ~10% of vectors carry label 1, so the unfiltered top-3 rarely does:
+    # the post-filter result set must be strictly smaller (the recall bug)
+    assert len(post) < len(pre)
