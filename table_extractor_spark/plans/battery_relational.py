@@ -2949,3 +2949,131 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.p").alias("best_price"),
         F.col("m.s").alias("best_suppkey"),
     )
+
+
+@register(
+    "hourly_gap_fill",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, MIN(hour_idx) AS lo, MAX(hour_idx) AS hi
+  FROM hourly GROUP BY event_type
+), spine AS (
+  SELECT event_type, UNNEST(range(lo, hi + 1)) AS hour_idx FROM b
+)
+SELECT s.event_type, s.hour_idx,
+       h.n IS NULL AS was_gap,
+       CAST(last_value(h.n IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_filled
+FROM spine s LEFT JOIN hourly h
+  ON h.event_type = s.event_type AND h.hour_idx = s.hour_idx
+""",
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the regularization every downstream
+    window/trend computation silently assumes: densify the sparse hourly
+    series onto a complete per-type hour spine (sequence-explode of the
+    group's [min, max] range), mark the manufactured rows, and forward-
+    fill counts with last-observation-carried-forward (`last(n, ignore
+    nulls)` over the ordered frame — the W1 section fill-down latch,
+    applied to time).  Without the spine, RANGE frames silently skip the
+    empty hours and moving averages overweight busy periods.  Scale
+    shape: the spine is bounded by elapsed hours x types (generated,
+    never shuffled wide), the left join keys on (type, hour) against the
+    already-bounded hourly table, and the fill window runs per type over
+    bounded rows.  The first spine hour always has data (the range starts
+    at an observed min), so n_filled is never NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(cast(ts as timestamp))"
+                " - pmod(unix_micros(cast(ts as timestamp)), 3600000000))"
+                " div 3600000000"
+            ).alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias(
+                "hour_idx"
+            ),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour_idx",
+        F.col("n").isNull().alias("was_gap"),
+        F.last("n", ignorenulls=True).over(w).cast("long").alias("n_filled"),
+    )
+
+
+@register(
+    "null_safe_device_join",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 < 3
+              THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+         END AS device
+  FROM events
+), dim AS (
+  SELECT DISTINCT device,
+         CASE WHEN device IS NULL THEN 'unknown'
+              ELSE 'device-' || CAST(device AS VARCHAR) END AS device_label
+  FROM keyed
+)
+SELECT d.device_label, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM keyed k JOIN dim d ON k.device IS NOT DISTINCT FROM d.device
+GROUP BY d.device_label
+""",
+)
+def null_safe_device_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the semantics
+    corner every dimension join with incomplete data hits: a third of the
+    events carry no device id (NULL, derived deterministically from the
+    props payload here), and a PLAIN equi-join silently drops every one
+    of them because NULL = NULL is NULL — the unknown-bucket rows vanish
+    from the report with no error.  The null-safe comparator keeps NULL
+    as a first-class join key (Spark plans it as an ordinary hash/merge
+    join on a null-wrapped key, NOT a nested loop), so the 'unknown'
+    dimension row aggregates its events like any other.  The JSON field
+    extraction is the typed from_json path inside codegen; the dim side
+    is distinct-bounded and broadcastable at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long") % 10
+    keyed = ev.select(
+        F.when(k < 3, F.lit(None).cast("long")).otherwise(k).alias("device")
+    )
+    dim = keyed.distinct().select(
+        "device",
+        F.when(F.col("device").isNull(), "unknown")
+        .otherwise(F.concat(F.lit("device-"), F.col("device").cast("string")))
+        .alias("device_label"),
+    )
+    return (
+        keyed.alias("k")
+        .join(
+            dim.alias("d"),
+            F.col("k.device").eqNullSafe(F.col("d.device")),
+        )
+        .groupBy("device_label")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )

@@ -114,6 +114,8 @@ _R7_QUEUE = (
     "cheapest_supplier_per_part",
     "bigram_fluency_score",
     "ann_filtered_topk",
+    "hourly_gap_fill",
+    "null_safe_device_join",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -384,3 +384,52 @@ def test_bigram_fluency_edge_docs(spark, tmp_path):
     }
     # corpus counts: 'the cat'=2, 'cat sat'=2, 'the dog'=1
     assert got == {1: (2, 2), 2: (2, 2), 5: (1, 1)}
+
+
+def test_hourly_gap_fill_carries_forward_over_gaps(spark, tmp_path):
+    """Hours 0, 1, 4 observed: the spine must mint hours 2-3 as gaps
+    carrying hour 1's count forward, and stop at the observed max."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 0, 30, 0)
+    rows = []
+    eid = 0
+    for hour, n in [(0, 2), (1, 7), (4, 3)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + timedelta(hours=hour), 1, "t", 0.0, "{}"))
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        int(r["hour_idx"]) % 24: (r["was_gap"], r["n_filled"])
+        for r in Q.queries()["hourly_gap_fill"](spark, d).collect()
+    }
+    assert got == {
+        0: (False, 2),
+        1: (False, 7),
+        2: (True, 7),
+        3: (True, 7),
+        4: (False, 3),
+    }
+
+
+def test_null_safe_join_keeps_unknown_bucket(spark, tmp_path):
+    """A plain equi-join drops every NULL-keyed event; the null-safe join
+    must keep them as the 'unknown' row with the exact count."""
+    rows = []
+    for i in range(12):
+        k = i % 10  # k<3 -> NULL device in the query's derivation
+        rows.append((i, __import__("datetime").datetime(2024, 3, 1, 1), 1,
+                     "t", 0.0, '{"k": %d}' % k))
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        r["device_label"]: r["n_events"]
+        for r in Q.queries()["null_safe_device_join"](spark, d).collect()
+    }
+    # k in {0,1,2} twice for i<10 plus i=10(k=0),11(k=1): 0,1 twice; 2 once
+    assert got["unknown"] == 5
+    assert sum(got.values()) == 12
+    assert got["device-5"] == 1
