@@ -3077,3 +3077,60 @@ def null_safe_device_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("device_label")
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event
+  FROM events
+), t AS (
+  SELECT prev_event, event_type AS next_event,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_event IS NOT NULL
+  GROUP BY prev_event, event_type
+)
+SELECT prev_event, next_event, n_transitions,
+       CAST((1000000 * n_transitions) //
+            SUM(n_transitions) OVER (PARTITION BY prev_event) AS BIGINT)
+         AS share_ppm
+FROM t
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the sequence-analytics primitive behind next-action prediction,
+    funnel discovery, and bot detection (bots have degenerate rows):
+    LAG each user's time-ordered stream by one, count (prev -> next)
+    pairs, and row-normalize to exact integer ppm shares.  Ordering ties
+    break on the unique event id so same-timestamp events sequence
+    identically in both engines.  Scale shape: the LAG window shuffles
+    once on user_id (the natural key — bounded per-user partitions, no
+    global sort), the pair groupBy collapses to at most |types|^2 rows
+    map-side, and the normalizing window runs over that bounded matrix,
+    not the corpus.  At 10^12 events this is one user-keyed exchange
+    plus arithmetic on a 25-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_event"),
+    ).filter(F.col("prev_event").isNotNull())
+    t = seq.groupBy(
+        F.col("prev_event"), F.col("event_type").alias("next_event")
+    ).agg(F.count("*").cast("long").alias("n_transitions"))
+    norm = Window.partitionBy("prev_event")
+    return t.select(
+        "prev_event",
+        "next_event",
+        "n_transitions",
+        F.expr(
+            "CAST((1000000 * n_transitions) div"
+            " (sum(n_transitions) OVER (PARTITION BY prev_event))"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -116,6 +116,7 @@ _R7_QUEUE = (
     "ann_filtered_topk",
     "hourly_gap_fill",
     "null_safe_device_join",
+    "event_transition_matrix",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -433,3 +433,35 @@ def test_null_safe_join_keeps_unknown_bucket(spark, tmp_path):
     assert got["unknown"] == 5
     assert sum(got.values()) == 12
     assert got["device-5"] == 1
+
+
+def test_event_transition_matrix_hand_sequence(spark, tmp_path):
+    """One user's stream a->b->a->b plus a same-timestamp tie broken by
+    event_id: exact transition counts and ppm row shares."""
+    from datetime import datetime
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, base.replace(minute=1), 7, "a", 0.0, "{}"),
+        (2, base.replace(minute=2), 7, "b", 0.0, "{}"),
+        (3, base.replace(minute=3), 7, "a", 0.0, "{}"),
+        # same-ts tie: event_id orders 4 ('b') before 5 ('c')
+        (4, base.replace(minute=4), 7, "b", 0.0, "{}"),
+        (5, base.replace(minute=4), 7, "c", 0.0, "{}"),
+        # second user contributes one a->c transition
+        (6, base.replace(minute=1), 8, "a", 0.0, "{}"),
+        (7, base.replace(minute=2), 8, "c", 0.0, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        (r["prev_event"], r["next_event"]): (r["n_transitions"], r["share_ppm"])
+        for r in Q.queries()["event_transition_matrix"](spark, d).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 666666),  # a -> {b:2, c:1}
+        ("a", "c"): (1, 333333),
+        ("b", "a"): (1, 500000),  # b -> {a:1, c:1}
+        ("b", "c"): (1, 500000),
+    }
