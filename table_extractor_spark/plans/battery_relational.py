@@ -3134,3 +3134,111 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+""",
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped between
+    two specific nations (both directions kept separate) by ship year.
+    The interesting plan property is the DOUBLE role of the nation
+    dimension: it joins the fact twice under two aliases (supplier's
+    nation and customer's nation), each side pre-FILTERED to the two
+    relevant nations before the join, so the filters cascade: only lines
+    whose supplier sits in one of two nations survive the first probe,
+    and the either-direction predicate runs on two small dimension
+    columns, never as a cross filter over the wide fact.  Only the
+    NATION side carries a broadcast hint (25 rows, truly bounded); the
+    nation-pruned supplier and customer sides are 2/25 of SF-LINEAR
+    tables — the q5/q17 lesson says no forced hint, so AQE broadcasts
+    them at small SF and degrades to shuffle joins at the 100-TB target
+    instead of OOMing.  The final (nation, nation, year) aggregate's key
+    space is 2x2x|years|."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    nations = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nations[0])
+                & (F.col("cust_nation") == nations[1])
+            )
+            | (
+                (F.col("supp_nation") == nations[1])
+                & (F.col("cust_nation") == nations[0])
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )

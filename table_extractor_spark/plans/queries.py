@@ -117,6 +117,7 @@ _R7_QUEUE = (
     "hourly_gap_fill",
     "null_safe_device_join",
     "event_transition_matrix",
+    "q7_nation_trade_volume",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

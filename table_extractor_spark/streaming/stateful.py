@@ -286,3 +286,81 @@ def interval_join_stream(
         f"AND r.{right_ts} <= l.{left_ts} + interval {max_delay}"
     )
     return lw.join(rw, cond, how).drop(F.col(f"r.{key}"))
+
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("prev_event", StringType()),
+        StructField("next_event", StringType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("last_us", LongType()),
+        StructField("last_id", LongType()),
+    ]
+)
+
+
+def transitions_stateful(events: DataFrame) -> DataFrame:
+    """Streaming first-order transitions: the incremental feed of the
+    batch `event_transition_matrix` — one (user, prev, next, ts) row per
+    adjacent event pair in each user's stream, with the pair that
+    STRADDLES a micro-batch boundary stitched from per-user state (last
+    event type + timestamp + id, three fields per user, checkpointed).
+
+    Within a batch, a group's rows arrive as multiple Arrow chunks in
+    shuffle order, so the WHOLE batch sorts once on (ts, event_id) — the
+    same chunk-split lesson the streaming funnel pins; the event-id
+    tie-break matches the batch query, so same-timestamp events sequence
+    identically.  Equivalence to the batch LAG holds when each user's
+    events arrive in event-time order ACROSS batches (the funnel's
+    documented contract); an out-of-order straggler yields a transition
+    out of stitch order rather than corrupting state.  Downstream, the
+    standing matrix is one streaming groupBy over these rows — the pair
+    key space is |types|^2-bounded, so the aggregation state is tiny at
+    any corpus size."""
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_type, last_us, last_id = (
+            state.get if state.exists else (None, -1, -1)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        for _, row in batch.sort_values(["ts_us", "event_id"]).iterrows():
+            if last_type is not None:
+                out.append(
+                    (user_id, last_type, row["event_type"], int(row["ts_us"]))
+                )
+            last_type = row["event_type"]
+            last_us = int(row["ts_us"])
+            last_id = int(row["event_id"])
+        state.update((last_type, last_us, last_id))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "prev_event", "next_event", "ts_us"],
+            )
+
+    prepared = events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -330,3 +330,112 @@ def test_stream_funnel_sorts_across_arrow_chunks(spark, tmp_path):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", saved
         )
+
+
+# ---------------------------------------------------------------------------
+# transitions_stateful
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import LongType
+
+from table_extractor_spark.streaming.stateful import transitions_stateful
+
+TEVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", StringType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def _drain_transitions(spark, inp, out, ckpt):
+    stream = spark.readStream.schema(TEVENT_SCHEMA).parquet(inp)
+    q = (
+        transitions_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_transitions_stateful_stitches_batch_boundary(spark, tmp_path):
+    """Two drains: the pair straddling the micro-batch boundary must be
+    stitched from state, a same-timestamp pair must tie-break on
+    event_id, and the full pair multiset must equal the batch LAG."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [
+        (1, _mins(0), "u1", "view"),
+        (2, _mins(1), "u1", "click"),
+        # same-ts pair: event_id must order 3 before 4
+        (3, _mins(2), "u1", "add"),
+        (4, _mins(2), "u1", "buy"),
+        (5, _mins(0), "u2", "view"),
+    ]
+    b2 = [
+        (6, _mins(5), "u1", "view"),   # stitches buy -> view across batches
+        (7, _mins(3), "u2", "click"),  # stitches view -> click
+    ]
+
+    def _write(rows):
+        spark.createDataFrame(rows, TEVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    _write(b1)
+    _drain_transitions(spark, inp, out, ckpt)
+    _write(b2)
+    _drain_transitions(spark, inp, out, ckpt)
+
+    got = {
+        (r["user_id"], r["prev_event"], r["next_event"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("u1", "view", "click"),
+        ("u1", "click", "add"),
+        ("u1", "add", "buy"),
+        ("u1", "buy", "view"),
+        ("u2", "view", "click"),
+    }
+
+    # batch replay over the union of both batches must yield the same pairs
+    from pyspark.sql import Window
+
+    all_ev = spark.read.parquet(inp)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        all_ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .collect()
+    )
+    assert {
+        (r["user_id"], r["prev"], r["event_type"]) for r in batch
+    } == got
+
+
+def test_transitions_stateful_restart_does_not_duplicate(spark, tmp_path):
+    """Draining with NO new data must emit nothing: state-only restarts
+    never re-emit already-observed transitions."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, _mins(0), "u1", "a"), (2, _mins(1), "u1", "b")], TEVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inp)
+    _drain_transitions(spark, inp, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    _drain_transitions(spark, inp, out, ckpt)  # no new files
+    n2 = spark.read.parquet(out).count()
+    assert (n1, n2) == (1, 1)
