@@ -1545,3 +1545,61 @@ def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_outlier_scores",
+    oracle="WITH " + _duck_ivf_cte(rounds=3) + """
+SELECT vec_id, centroid_id, cos_to_centroid, rank FROM (
+  SELECT a.vec_id, a.cid AS centroid_id,
+         round(s.d / (q.n * c.n), 6) AS cos_to_centroid,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY round(s.d / (q.n * c.n), 6) ASC, a.vec_id) AS INT)
+           AS rank
+  FROM afinal a
+  JOIN simf s ON s.vec_id = a.vec_id AND s.cid = a.cid
+  JOIN vqn q ON q.vec_id = a.vec_id
+  JOIN cfn c ON c.cid = a.cid
+) t WHERE rank <= 20
+""",
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining — the DataComp/SemDedup-family
+    pruning signal in reverse: after the SAME deterministic IVF training
+    the ANN queries replay (quantized spherical k-means, 16 centroids, 3
+    Lloyd rounds), every vector scores its cosine to its OWN assigned
+    centroid, and the 20 LEAST-central vectors surface — junk embeddings,
+    encoder failures, and out-of-distribution documents live in that
+    tail (a vector far from every centroid is by construction far from
+    its nearest one).  Regime caveat, stated not discovered: the signal
+    assumes k is SMALL relative to the data's modes — with centroids to
+    spare, k-means rightfully dedicates one to an isolated vector and
+    its cosine-to-own-centroid becomes 1.0 (pinned in the busy-centroid
+    fixture of tests/test_similarity_ann.py).  Scale shape: the centroid
+    table broadcasts, the
+    score is map-side arithmetic over integer-valued doubles (IEEE-exact
+    sums, so the oracle replays training AND scores bit-for-bit), and
+    the bottom-20 is TakeOrderedAndProject — the corpus never shuffles.
+    Composes with ann_ivf_probed off one shared index build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = S.ivf_index(
+        emb, n_centroids=16, quantize=ANN_Q
+    )
+    a = assignments.select(
+        F.col("vid").alias("vec_id"),
+        "centroid_id",
+        S.quantized(F.col("v"), ANN_Q).alias("q"),
+    ).select("vec_id", "centroid_id", "q", S.norm(F.col("q")).alias("qn"))
+    scored = a.join(F.broadcast(centroids), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            S.dot(F.col("q"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cos_to_centroid"),
+    )
+    w = Window.orderBy(F.col("cos_to_centroid").asc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("cos_to_centroid").asc(), "vec_id")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -118,6 +118,7 @@ _R7_QUEUE = (
     "null_safe_device_join",
     "event_transition_matrix",
     "q7_nation_trade_volume",
+    "embedding_outlier_scores",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

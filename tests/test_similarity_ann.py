@@ -200,3 +200,50 @@ def test_filtered_topk_prefilter_beats_postfilter(spark):
     # ~10% of vectors carry label 1, so the unfiltered top-3 rarely does:
     # the post-filter result set must be strictly smaller (the recall bug)
     assert len(post) < len(pre)
+
+
+def test_embedding_outlier_scores_plants_surface_first(spark, tmp_path):
+    """A planted vector pointing AWAY from every cluster must rank as the
+    #1 outlier.  The fixture keeps all 16 centroids BUSY (16 dense
+    clusters, one seed vid in each — ids 0-15 are one point per cluster),
+    because with free centroids k-means rightfully dedicates one to a
+    singleton and its cosine-to-own-centroid becomes 1.0: the
+    centroid-distance signal finds outliers only when k is small
+    relative to the data's modes, which is the operator's documented
+    regime."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # ids 0-15: one anchor per cluster (the deterministic seeds), then 14
+    # more members per cluster
+    for c in range(16):
+        base = [0.0] * 16
+        base[c] = 10.0
+        rows.append((c, [v + rng.random() * 0.1 for v in base], c))
+    nid = 16
+    for c in range(16):
+        base = [0.0] * 16
+        base[c] = 10.0
+        for _ in range(14):
+            rows.append(
+                (nid, [v + rng.random() * 0.1 for v in base], c)
+            )
+            nid += 1
+    # the plant: opposite direction to every cluster axis
+    rows.append((999, [-10.0] * 16, 99))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    emb.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    from table_extractor_spark.plans import queries as Q
+
+    out = Q.queries()["embedding_outlier_scores"](spark, d).collect()
+    assert out[0]["vec_id"] == 999
+    assert out[0]["rank"] == 1
+    assert out[0]["cos_to_centroid"] < 0  # genuinely anti-aligned
+    # every reported score is a valid cosine and ascending in rank
+    scores = [r["cos_to_centroid"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+    assert scores == sorted(scores)
