@@ -3242,3 +3242,112 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q16_distinct_supplier_counts",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q16_distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier breadth per product segment with a
+    NOT-IN exclusion list: how many DISTINCT suppliers serve each
+    (brand, size) cell, excluding blacklisted (negative-balance)
+    suppliers.  The NOT IN decorrelates to a LEFT ANTI join against the
+    exclusion subquery — safe here because s_suppkey is non-nullable;
+    with a nullable subquery column NOT IN becomes the classic
+    three-valued-logic trap (one NULL empties the whole result) and
+    Spark must plan a null-aware anti join instead, which is why this
+    engine's oracles keep NOT-IN subqueries on key columns only.  Scale:
+    the exclusion list is supplier-sized and broadcastable; the
+    part join carries no hint (SF-linear side, the q5/q17 rule); the
+    COUNT(DISTINCT) shuffles once on the (brand, size, suppkey) expanded
+    key — bounded by segments x suppliers, not line items."""
+    supp_bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(supp_bad, li["l_suppkey"] == supp_bad["s_suppkey"], "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+  FROM events
+), cum AS (
+  SELECT day_idx, CAST(MAX(c) AS BIGINT) AS cum_users FROM (
+    SELECT day_idx,
+           COUNT(DISTINCT user_id) OVER (
+             ORDER BY day_idx
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM d
+  ) t GROUP BY day_idx
+)
+SELECT day_idx,
+       CAST(cum_users - COALESCE(LAG(cum_users) OVER (ORDER BY day_idx), 0)
+            AS BIGINT) AS n_new,
+       cum_users
+FROM cum
+""",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — growth accounting's core curve —
+    via the FIRST-OCCURRENCE REWRITE: Spark windows cannot take
+    COUNT(DISTINCT), and the naive per-day re-count scans the whole
+    history per day.  The rewrite: each user contributes exactly once, on
+    their first-seen day (one groupBy min), so daily new-user counts sum
+    once and the running SUM of those IS the cumulative distinct count.
+    The oracle runs the HONEST windowed COUNT(DISTINCT) (DuckDB supports
+    it), proving the rewrite rather than mirroring it.  Scale: two
+    bounded shuffles (per-user min on the user key, per-day count on the
+    day key) and one running-sum window over the elapsed-days table; the
+    naive formulation is O(days x corpus).  Days with events but no new
+    users appear with n_new = 0 via the observed-day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr(
+            "(unix_micros(cast(ts as timestamp))"
+            " - pmod(unix_micros(cast(ts as timestamp)), 86400000000))"
+            " div 86400000000"
+        ).alias("day_idx"),
+        "user_id",
+    ).distinct()
+    first = d.groupBy("user_id").agg(F.min("day_idx").alias("day_idx"))
+    new = first.groupBy("day_idx").agg(
+        F.count("*").cast("long").alias("n_new_raw")
+    )
+    spine = d.select("day_idx").distinct()
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(new, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce(F.col("n_new_raw"), F.lit(0)).cast("long").alias(
+                "n_new"
+            ),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+    )

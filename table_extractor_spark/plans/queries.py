@@ -119,6 +119,8 @@ _R7_QUEUE = (
     "event_transition_matrix",
     "q7_nation_trade_volume",
     "embedding_outlier_scores",
+    "q16_distinct_supplier_counts",
+    "cumulative_unique_users",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -465,3 +465,53 @@ def test_event_transition_matrix_hand_sequence(spark, tmp_path):
         ("b", "a"): (1, 500000),  # b -> {a:1, c:1}
         ("b", "c"): (1, 500000),
     }
+
+
+def test_cumulative_unique_users_rewrite_hand_case(spark, tmp_path):
+    """Users {a} day0, {a,b} day1 (a returns: no new), {c} day3: new
+    counts 1,1,1 with a zero-new day absent (day2 has no events so no
+    spine row) and the cumulative curve 1,2,3."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, base, 100, "t", 0.0, "{}"),
+        (2, base + timedelta(days=1), 100, "t", 0.0, "{}"),
+        (3, base + timedelta(days=1), 200, "t", 0.0, "{}"),
+        (4, base + timedelta(days=3), 300, "t", 0.0, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = [
+        (r["n_new"], r["cum_users"])
+        for r in sorted(
+            Q.queries()["cumulative_unique_users"](spark, d).collect(),
+            key=lambda r: r["day_idx"],
+        )
+    ]
+    assert got == [(1, 1), (1, 2), (1, 3)]
+
+
+def test_cumulative_unique_users_zero_new_day_present(spark, tmp_path):
+    """A day with events but only RETURNING users must appear with
+    n_new = 0 and an unchanged cumulative count."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, base, 100, "t", 0.0, "{}"),
+        (2, base + timedelta(days=1), 100, "t", 0.0, "{}"),  # returning only
+        (3, base + timedelta(days=2), 200, "t", 0.0, "{}"),
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    from table_extractor_spark.plans import queries as Q
+
+    got = [
+        (r["n_new"], r["cum_users"])
+        for r in sorted(
+            Q.queries()["cumulative_unique_users"](spark, d).collect(),
+            key=lambda r: r["day_idx"],
+        )
+    ]
+    assert got == [(1, 1), (0, 1), (1, 2)]
