@@ -144,7 +144,13 @@ def triangle_counts(
     oracle replays the same orientation bit-for-bit.
 
     Returns (node, n_triangles) for nodes in >= 1 triangle; each triangle
-    increments all three corners."""
+    increments all three corners.
+
+    Cache lifetime (same contract as pagerank): the oriented edge table
+    stays persisted while the returned DataFrame is in use — it backs
+    both sides of the wedge join and the closing probe.  A session
+    counting triangles over MANY graphs should release it between runs
+    (``spark.catalog.clearCache()`` or unpersist after materializing)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = (
         e.select(F.col("u").alias("node"))
@@ -207,19 +213,33 @@ def k_hop_distances(
     visited set (the dedup that makes hop = shortest distance and, more
     importantly at scale, keeps the frontier from re-exploding into
     already-settled regions — without it a dense graph's frontier grows
-    as paths, not nodes).  Frontiers persist for the one round they back
-    two plans (expansion + union) and are dropped after; the visited
-    accumulator is localCheckpoint-truncated every ``checkpoint_every``
-    hops so deep walks don't build an O(k)-deep lineage tree (shallow
-    walks, the common case, keep their fully declarative plan).  No
-    driver traffic inside the loop."""
+    as paths, not nodes).
+
+    Every frontier is EAGERLY localCheckpoint-ed, which buys three things
+    at once.  (1) Real materialization: each frontier is read twice
+    (next round's expand/anti + the final union), and a lazily-built
+    loop quietly recomputes early frontiers exponentially often.
+    (2) PLAN truncation: nxt_h's logical plan embeds visited_{h-1},
+    which embeds nxt_{h-1} — left untruncated the printed plan TREE
+    doubles every hop and a deep walk OOMs the driver merely rendering
+    it for the SQL UI.  (3) An EARLY EXIT the moment the frontier drains
+    (the count on the checkpointed RDD is the sanctioned O(1)-scalar
+    driver traffic, same budget as BPE/Lloyd training): a k=10 request
+    over a diameter-3 component does 3 rounds, not 10.  The visited
+    accumulator additionally truncates its union chain every
+    ``checkpoint_every`` hops so deep walks keep a shallow plan.
+
+    Checkpointed frontier RDDs back the returned union and hold their
+    blocks while it is referenced; they are GC-released with the
+    DataFrame — no session-level cache is pinned (unlike
+    pagerank/triangle_counts, nothing here needs clearCache)."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    frontier = seeds.select("node").distinct().persist()
+    frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
     visited = frontier.withColumn("hop", F.lit(0).cast("long"))
     out = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     for h in range(1, k + 1):
@@ -228,13 +248,12 @@ def k_hop_distances(
             .select(F.col("__d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        prev = frontier
+        if nxt.count() == 0:  # frontier drained: all reachable nodes settled
+            break
         visited = visited.union(nxt.withColumn("hop", F.lit(h).cast("long")))
         if h % checkpoint_every == 0 and h < k:
             visited = visited.localCheckpoint(eager=False)
-        prev.unpersist()
         frontier = nxt
-    frontier.unpersist()
     return visited

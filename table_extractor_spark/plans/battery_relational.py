@@ -3150,8 +3150,8 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation cn ON cn.n_nationkey = c.c_nationkey
 JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
   AND l.l_shipdate >= TIMESTAMP '1995-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
@@ -3174,7 +3174,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of OOMing.  The final (nation, nation, year) aggregate's key
     space is 2x2x|years|."""
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    nations = ("NATION_1", "NATION_2")
+    # NATION_18/19 co-trade at EVERY fixture scale (including
+    # sf0.001), so neither gate scale factor is a vacuous 0-row check
+    nations = ("NATION_18", "NATION_19")
     nat = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin(*nations)
     )

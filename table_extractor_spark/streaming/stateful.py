@@ -318,12 +318,18 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
     same chunk-split lesson the streaming funnel pins; the event-id
     tie-break matches the batch query, so same-timestamp events sequence
     identically.  Equivalence to the batch LAG holds when each user's
-    events arrive in event-time order ACROSS batches (the funnel's
-    documented contract); an out-of-order straggler yields a transition
-    out of stitch order rather than corrupting state.  Downstream, the
-    standing matrix is one streaming groupBy over these rows — the pair
-    key space is |types|^2-bounded, so the aggregation state is tiny at
-    any corpus size."""
+    events arrive in (event-time, event-id) order ACROSS batches (the
+    funnel's contract, sharpened by the id tie-break).  A row that sorts
+    BEFORE the stored last event — a late straggler, or a same-timestamp
+    twin whose lower id arrives in a later batch — is DROPPED from the
+    stitch rather than emitted backwards: the state's (ts, id) fields
+    gate every boundary transition, so the stream can under-count
+    relative to the batch LAG but never fabricates a reversed pair the
+    batch query would not contain (the funnel's conservative failure
+    mode; the batch query is the end-of-day reconciliation).
+    Downstream, the standing matrix is one streaming groupBy over these
+    rows — the pair key space is |types|^2-bounded, so the aggregation
+    state is tiny at any corpus size."""
 
     def fn(
         key: Tuple[Any, ...],
@@ -337,13 +343,18 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         out = []
         for _, row in batch.sort_values(["ts_us", "event_id"]).iterrows():
+            ts_us, eid = int(row["ts_us"]), int(row["event_id"])
+            if last_type is not None and (ts_us, eid) <= (last_us, last_id):
+                # sorts at-or-before the stored last event: emitting here
+                # would stitch a pair the batch LAG orders the other way
+                continue
             if last_type is not None:
                 out.append(
-                    (user_id, last_type, row["event_type"], int(row["ts_us"]))
+                    (user_id, last_type, row["event_type"], ts_us)
                 )
             last_type = row["event_type"]
-            last_us = int(row["ts_us"])
-            last_id = int(row["event_id"])
+            last_us = ts_us
+            last_id = eid
         state.update((last_type, last_us, last_id))
         if out:
             yield pd.DataFrame(

@@ -219,3 +219,10 @@ def test_k_hop_rejects_bad_checkpoint_every(spark):
     s = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError):
         k_hop_distances(e, s, 2, checkpoint_every=0)
+
+
+def test_k_hop_early_exit_on_drained_frontier(spark):
+    """k far beyond the component diameter: the walk must stop when the
+    frontier drains and still return exact distances."""
+    edges = [("a", "b"), ("b", "c")]
+    assert _khop(spark, edges, ["a"], 50) == {"a": 0, "b": 1, "c": 2}

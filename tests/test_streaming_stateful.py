@@ -439,3 +439,32 @@ def test_transitions_stateful_restart_does_not_duplicate(spark, tmp_path):
     _drain_transitions(spark, inp, out, ckpt)  # no new files
     n2 = spark.read.parquet(out).count()
     assert (n1, n2) == (1, 1)
+
+
+def test_transitions_stateful_drops_backward_boundary_stitch(spark, tmp_path):
+    """A same-timestamp twin whose LOWER event id arrives in a LATER
+    batch sorts before the stored last event: the stitch must drop it
+    (conservative under-count) instead of emitting the reversed pair the
+    batch LAG would never contain."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(rows, TEVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    _write([(1, _mins(0), "u1", "view"), (5, _mins(2), "u1", "click")])
+    _drain_transitions(spark, inp, out, ckpt)
+    # id 4 shares ts with the stored last (id 5) but sorts before it
+    _write([(4, _mins(2), "u1", "add"), (6, _mins(3), "u1", "buy")])
+    _drain_transitions(spark, inp, out, ckpt)
+
+    got = {
+        (r["prev_event"], r["next_event"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # NO ('click','add') and NO ('add', anything): the straggler is
+    # dropped; the in-order 'buy' stitches from the stored 'click'
+    assert got == {("view", "click"), ("click", "buy")}
