@@ -3353,3 +3353,262 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
     )
+
+
+@register(
+    "q10_returned_item_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue,
+       n.n_name
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — the returned-item loss report: top-20 customers
+    by revenue on RETURNED lines within a one-year order window.  Plan
+    shape: both fact filters (returnflag on lineitem, date on orders)
+    push to their scans before the key join, the customer/nation
+    dimensions attach afterward (nation hinted broadcast — 25 rows; the
+    customer side is SF-linear, no hint), and the top-20 is
+    TakeOrderedAndProject over the grouped result, never a full sort.
+    The deterministic tie-break (revenue desc, custkey) keeps the cut
+    line stable across engines."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional pivot-in-aggregate: one pass splits
+    each group's count by a predicate (urgent vs not) using CASE inside
+    SUM, the idiom that replaces two scans (or a pivot job) with zero
+    extra shuffles — both conditional sums partial-aggregate map-side
+    under the same grouping key.  The fact-fact join keys on l_orderkey
+    after the date prune; nothing is broadcast-hinted (both sides
+    SF-linear)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q19_or_of_ands_revenue",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+""",
+)
+def q19_or_of_ands_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the OR-of-ANDs predicate class: disjunctive
+    branch conditions spanning BOTH join sides.  The planner lesson Q19
+    teaches: the equi-key (p_partkey = l_partkey) must stay extracted as
+    the hash-join key with the disjunction as a residual filter — naive
+    per-branch UNIONs scan the fact once per branch, and pushing an OR
+    into either scan alone is unsound.  Catalyst additionally derives
+    per-side IN/range supersets from the disjunction (constraint
+    propagation), so each scan still prunes: the part side to the two
+    brands, the fact side to the quantity hull.  One join, one residual,
+    one aggregate row."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2)
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH trade AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+         sn.n_name AS supp_nation,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 100
+              AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA'
+  GROUP BY 1, 2
+)
+SELECT order_year,
+       CAST((1000000 * COALESCE(SUM(rev_cents)
+               FILTER (supp_nation = 'NATION_19'), 0))
+            // SUM(rev_cents) AS BIGINT) AS share_ppm
+FROM trade GROUP BY order_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: NATION_19's fraction of
+    supplier revenue into AMERICA-region customers, per order year, as exact
+    integer ppm.  The numerator/denominator trick: ONE aggregation pass
+    computes per-(year, supp_nation) revenue, then the share is a
+    conditional re-aggregate over that bounded table — never two corpus
+    scans.  Exactness: revenue sums in DECIMAL cents cast to int64
+    BEFORE the division (decimal(18,2)*100 is integral by construction),
+    so the ppm share is engine-exact — no float ratio ever forms.  The
+    nation dimension again serves twice (customer's region gate,
+    supplier's identity); region/nation broadcast, customer/supplier
+    SF-linear sides un-hinted (the q5/q17 rule)."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cust_nat = nat.join(
+        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nat.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    trade = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("order_year", "supp_nation")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+                * 100
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    return trade.groupBy("order_year").agg(
+        F.expr(
+            "CAST((1000000 * COALESCE(SUM(CASE WHEN supp_nation = 'NATION_19'"
+            " THEN rev_cents END), 0)) div SUM(rev_cents) AS BIGINT)"
+        ).alias("share_ppm")
+    )

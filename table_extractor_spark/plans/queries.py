@@ -121,6 +121,10 @@ _R7_QUEUE = (
     "embedding_outlier_scores",
     "q16_distinct_supplier_counts",
     "cumulative_unique_users",
+    "q10_returned_item_revenue",
+    "q12_priority_by_returnflag",
+    "q19_or_of_ands_revenue",
+    "q8_market_share",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

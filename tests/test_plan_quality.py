@@ -613,3 +613,17 @@ def test_ann_filtered_topk_pushes_filter_and_broadcasts_queries(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q19_or_of_ands_stays_equi_join(spark):
+    """The OR-of-ANDs disjunction must NOT break the equi-join: the
+    partkey equality stays the hash-join key with the disjunction as a
+    residual — never a cartesian/BNLJ — and constraint propagation still
+    prunes the part scan to the two brands."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["q19_or_of_ands_revenue"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "Brand#11" in plan, plan  # derived per-side pruning reached a scan
