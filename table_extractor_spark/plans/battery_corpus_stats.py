@@ -1603,3 +1603,87 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+@register(
+    "cume_dist_doc_length",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_total,
+         CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS n_le
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST((1000000 * n_le) // n_total AS BIGINT) AS cume_ppm
+FROM d
+""",
+)
+def cume_dist_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cumulative length distribution — the percentile-of-
+    this-document signal behind length-curriculum ordering and truncation
+    policy — as EXACT integer ppm rather than the built-in CUME_DIST
+    (whose double output is engine/rounding sensitive): n_le = the
+    VALUE-ordered RANGE frame count (rows with length <= mine, ties
+    inclusive — exactly CUME_DIST's numerator), over the per-language
+    total.  Both engines compute the identical int64 quotient, so the
+    driver hash pins tie handling too.  One shuffle on lang; the windows
+    share the single (lang, n_chars) sort order at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = Window.partitionBy("lang")
+    le = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("n_total", F.count("*").over(by_lang).cast("long"))
+        .withColumn("n_le", F.count("*").over(le).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("CAST((1000000 * n_le) div n_total AS BIGINT)").alias(
+                "cume_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "zero_token_docs_audit",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+         AS is_empty
+FROM documents
+""",
+)
+def zero_token_docs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explode-row-loss pin: per-doc token counts where EMPTY
+    documents must SURVIVE — a plain `explode` silently drops zero-
+    element rows, so any count/audit built on it under-reports exactly
+    the degenerate documents a curation pipeline most needs to see.
+    Spark uses `explode_outer` (the NULL placeholder row keeps the doc)
+    with a null-aware count; the oracle counts tokens directly without
+    unnesting, so the driver hash fails if explode semantics ever eat a
+    row.  The count-vs-count formulation also documents the cheaper
+    path: when ONLY counts are needed, `size(filter(...))` is a map-side
+    projection with no explode at all — the explode_outer here exists to
+    pin the row-preserving join shape the per-token operators rely on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr("filter(split(text, ' '), x -> x <> '')")
+        ).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("tok").cast("long").alias("n_tokens"),
+        (F.count("tok") == 0).alias("is_empty"),
+    )

@@ -125,6 +125,8 @@ _R7_QUEUE = (
     "q12_priority_by_returnflag",
     "q19_or_of_ands_revenue",
     "q8_market_share",
+    "cume_dist_doc_length",
+    "zero_token_docs_audit",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -515,3 +515,62 @@ def test_cumulative_unique_users_zero_new_day_present(spark, tmp_path):
         )
     ]
     assert got == [(1, 1), (0, 1), (1, 2)]
+
+
+def _docs_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_zero_token_docs_survive_explode_outer(spark, tmp_path):
+    """Empty and whitespace-only docs must appear with n_tokens = 0 —
+    and a plain explode provably drops them (the row-loss this query
+    exists to pin)."""
+    from pyspark.sql import functions as F
+
+    d = _docs_dir(spark, tmp_path, [
+        (1, "two tokens", "en", "s", 10),
+        (2, "", "en", "s", 0),
+        (3, "   ", "en", "s", 3),
+    ])
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["is_empty"])
+        for r in Q.queries()["zero_token_docs_audit"](spark, d).collect()
+    }
+    assert got == {1: (2, False), 2: (0, True), 3: (0, True)}
+    # the contrast: plain explode loses docs 2 and 3 entirely
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    plain = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")),
+        )
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert plain == 1
+
+
+def test_cume_dist_ppm_tie_handling(spark, tmp_path):
+    """Lengths 5, 5, 10: both ties get cume 2/3 (RANGE frame includes
+    the whole tie group), the max gets 3/3."""
+    d = _docs_dir(spark, tmp_path, [
+        (1, "x", "en", "s", 5),
+        (2, "y", "en", "s", 5),
+        (3, "z", "en", "s", 10),
+    ])
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        r["doc_id"]: r["cume_ppm"]
+        for r in Q.queries()["cume_dist_doc_length"](spark, d).collect()
+    }
+    assert got == {1: 666666, 2: 666666, 3: 1000000}
