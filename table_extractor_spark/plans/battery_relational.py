@@ -133,9 +133,14 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-10.
-    The customer side is filter-reduced and broadcast; only lineitem (the
-    fact) shuffles for the aggregation — the join order Catalyst should and
-    does pick once the filters are pushed into the scans."""
+    The customer side is filter-reduced but SF-LINEAR (one market segment
+    is ~20% of all customers), so it carries NO forced broadcast hint —
+    the q5/q17 rule, applied here in a round-6 audit: at test SF the
+    optimizer's autoBroadcastJoinThreshold still picks a broadcast join
+    for it, at the 100-TB target AQE degrades to a shuffle join instead
+    of OOMing.  Only lineitem (the fact) shuffles for the aggregation —
+    the join order Catalyst should and does pick once the filters are
+    pushed into the scans."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -154,7 +159,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1110,12 +1115,20 @@ GROUP BY c_nationkey
 )
 def entity_probe_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: the resource-existence ASK probe (Mapper.py:216-237) as a broadcast
-    LEFT SEMI join against the known-entities table."""
+    LEFT SEMI join against the known-entities table.  The probe side is
+    DISTINCT-ed before the hint (round-6 audit): the raw supplier
+    projection is SF-linear, but a semi join only needs the distinct key
+    set, which is bounded by the 25-row nation table — so the broadcast
+    is bounded by construction, not by luck."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
         customer.join(
-            F.broadcast(supplier.select(F.col("s_nationkey").alias("c_nationkey"))),
+            F.broadcast(
+                supplier.select(
+                    F.col("s_nationkey").alias("c_nationkey")
+                ).distinct()
+            ),
             on="c_nationkey",
             how="leftsemi",
         )

@@ -274,15 +274,19 @@ def test_ttl_lines_escape_turtle(spark):
 
 
 def test_q3_broadcasts_filtered_dims(spark):
-    """TPC-H Q3 shape: the filter-reduced customer side must broadcast and
-    the filters must reach the scans — the fact table shuffles only for the
-    aggregation."""
+    """TPC-H Q3 shape: the filters must reach the scans, the plan stays
+    product-free, and — the r6 audit rule — the SF-linear filtered
+    customer side carries NO forced broadcast hint (at test SF the
+    optimizer still picks a broadcast join for it on its own)."""
     from table_extractor_spark.plans import queries as Q
 
     plan = formatted(Q.queries()["q3_shipping_priority"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "PushedFilters" in plan
     assert "IsNotNull(c_mktsegment)" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    src = __import__("inspect").getsource(Q.q3_shipping_priority)
+    assert "F.broadcast(" not in src, "customer must not be force-broadcast"
 
 
 def test_rollup_is_single_expand_aggregate(spark):
