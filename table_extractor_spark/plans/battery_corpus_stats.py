@@ -1657,30 +1657,39 @@ def cume_dist_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero_token_docs_audit",
     oracle="""
 SELECT doc_id,
-       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-            AS BIGINT) AS n_tokens,
-       len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
-         AS is_empty
+       CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                            x -> length(x) >= 8)) AS BIGINT) AS n_tokens,
+       len(list_filter(string_split(COALESCE(text, ''), ' '),
+                       x -> length(x) >= 8)) = 0 AS is_empty
 FROM documents
 """,
 )
 def zero_token_docs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The explode-row-loss pin: per-doc token counts where EMPTY
-    documents must SURVIVE — a plain `explode` silently drops zero-
-    element rows, so any count/audit built on it under-reports exactly
-    the degenerate documents a curation pipeline most needs to see.
-    Spark uses `explode_outer` (the NULL placeholder row keeps the doc)
-    with a null-aware count; the oracle counts tokens directly without
+    """The explode-row-loss pin: per-doc counts of LONG (>= 8 char)
+    tokens, where documents with none must SURVIVE — the post-cleaning
+    emptiness audit (an aggressive filter step can empty a document, and
+    those are exactly the rows curation must see, not lose).  A plain
+    `explode` silently drops zero-element rows; Spark uses
+    `explode_outer` (the NULL placeholder row keeps the doc) with a
+    null-aware count, and the oracle counts tokens directly WITHOUT
     unnesting, so the driver hash fails if explode semantics ever eat a
-    row.  The count-vs-count formulation also documents the cheaper
-    path: when ONLY counts are needed, `size(filter(...))` is a map-side
-    projection with no explode at all — the explode_outer here exists to
-    pin the row-preserving join shape the per-token operators rely on."""
+    row.  The >= 8 floor is what makes the pin non-vacuous on the gate
+    fixtures: ~20% of docs at both SFs have no long token (an unfiltered
+    split leaves zero empty docs and the hash could never catch the
+    regression); NULL text coalesces to '' on both sides (Spark's
+    explode_outer(NULL) and DuckDB's len(NULL) would otherwise disagree).
+    The count-vs-count formulation also documents the cheaper path: when
+    ONLY counts are needed, `size(filter(...))` is a map-side projection
+    with no explode at all — the explode_outer here exists to pin the
+    row-preserving shape the per-token operators rely on."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode_outer(
-            F.expr("filter(split(text, ' '), x -> x <> '')")
+            F.expr(
+                "filter(split(coalesce(text, ''), ' '),"
+                " x -> length(x) >= 8)"
+            )
         ).alias("tok"),
     )
     return toks.groupBy("doc_id").agg(

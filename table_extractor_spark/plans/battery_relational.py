@@ -3267,15 +3267,16 @@ SELECT p.p_brand, p.p_size,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#1'
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                          WHERE s_acctbal < 0)
+                          WHERE s_acctbal < 1000)
 GROUP BY p.p_brand, p.p_size
 """,
 )
 def q16_distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape — supplier breadth per product segment with a
     NOT-IN exclusion list: how many DISTINCT suppliers serve each
-    (brand, size) cell, excluding blacklisted (negative-balance)
-    suppliers.  The NOT IN decorrelates to a LEFT ANTI join against the
+    (brand, size) cell, excluding blacklisted (low-balance, < 1000 —
+    a floor that excludes real suppliers at EVERY fixture scale, so
+    neither gate leg tests the anti join vacuously) suppliers.  The NOT IN decorrelates to a LEFT ANTI join against the
     exclusion subquery — safe here because s_suppkey is non-nullable;
     with a nullable subquery column NOT IN becomes the classic
     three-valued-logic trap (one NULL empties the whole result) and
@@ -3287,7 +3288,7 @@ def q16_distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — bounded by segments x suppliers, not line items."""
     supp_bad = (
         load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter(F.col("s_acctbal") < 1000)
         .select("s_suppkey")
     )
     part = (
@@ -3549,8 +3550,8 @@ WITH trade AS (
   SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
          sn.n_name AS supp_nation,
          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 100
-              AS BIGINT) AS rev_cents
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_e4
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3562,9 +3563,9 @@ WITH trade AS (
   GROUP BY 1, 2
 )
 SELECT order_year,
-       CAST((1000000 * COALESCE(SUM(rev_cents)
+       CAST((1000000 * COALESCE(SUM(rev_e4)
                FILTER (supp_nation = 'NATION_19'), 0))
-            // SUM(rev_cents) AS BIGINT) AS share_ppm
+            // SUM(rev_e4) AS BIGINT) AS share_ppm
 FROM trade GROUP BY order_year
 """,
 )
@@ -3574,9 +3575,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ppm.  The numerator/denominator trick: ONE aggregation pass
     computes per-(year, supp_nation) revenue, then the share is a
     conditional re-aggregate over that bounded table — never two corpus
-    scans.  Exactness: revenue sums in DECIMAL cents cast to int64
-    BEFORE the division (decimal(18,2)*100 is integral by construction),
-    so the ppm share is engine-exact — no float ratio ever forms.  The
+    scans.  Exactness: the revenue sum's decimal scale is FOUR
+    (price(2) x discount-complement(2)), so the int64 conversion
+    multiplies by 10^4 — the value is then integral by construction and
+    the cast is exact on BOTH engines, which matters because Spark's
+    decimal->long cast truncates while DuckDB's rounds: on a fractional
+    value (e.g. x100 of a scale-4 sum) the two engines hold different
+    integers and the ppm share is one boundary case from a hash
+    mismatch.  No float ratio ever forms.  The
     nation dimension again serves twice (customer's region gate,
     supplier's identity); region/nation broadcast, customer/supplier
     SF-linear sides un-hinted (the q5/q17 rule)."""
@@ -3615,13 +3621,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
-                * 100
-            ).cast("long").alias("rev_cents")
+                * 10000
+            ).cast("long").alias("rev_e4")
         )
     )
     return trade.groupBy("order_year").agg(
         F.expr(
             "CAST((1000000 * COALESCE(SUM(CASE WHEN supp_nation = 'NATION_19'"
-            " THEN rev_cents END), 0)) div SUM(rev_cents) AS BIGINT)"
+            " THEN rev_e4 END), 0)) div SUM(rev_e4) AS BIGINT)"
         ).alias("share_ppm")
     )

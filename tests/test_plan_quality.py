@@ -604,6 +604,15 @@ def test_round6_graph_queries_plan_shape(spark):
     plan = formatted(step)
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # tripwire on the operator body itself: the checkpoint-truncated
+    # query plan cannot see a regression inside k_hop_distances (e.g.
+    # swapping the anti join for exceptAll), so pin the source
+    import inspect
+
+    from table_extractor_spark.operators.graph import k_hop_distances
+
+    src = inspect.getsource(k_hop_distances)
+    assert '"left_anti"' in src and "localCheckpoint(eager=True)" in src
 
 
 def test_ann_filtered_topk_pushes_filter_and_broadcasts_queries(spark):

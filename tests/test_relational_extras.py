@@ -528,15 +528,17 @@ def _docs_dir(spark, tmp_path, rows):
 
 
 def test_zero_token_docs_survive_explode_outer(spark, tmp_path):
-    """Empty and whitespace-only docs must appear with n_tokens = 0 —
-    and a plain explode provably drops them (the row-loss this query
-    exists to pin)."""
+    """Docs with no long token (incl. empty, whitespace-only, and NULL
+    text) must appear with n_tokens = 0 — and a plain explode provably
+    drops them (the row-loss this query exists to pin)."""
     from pyspark.sql import functions as F
 
     d = _docs_dir(spark, tmp_path, [
-        (1, "two tokens", "en", "s", 10),
+        (1, "tiny words but longenough appears", "en", "s", 30),
         (2, "", "en", "s", 0),
         (3, "   ", "en", "s", 3),
+        (4, "all short toks here", "en", "s", 19),
+        (5, None, "en", "s", 0),
     ])
     from table_extractor_spark.plans import queries as Q
 
@@ -544,13 +546,24 @@ def test_zero_token_docs_survive_explode_outer(spark, tmp_path):
         r["doc_id"]: (r["n_tokens"], r["is_empty"])
         for r in Q.queries()["zero_token_docs_audit"](spark, d).collect()
     }
-    assert got == {1: (2, False), 2: (0, True), 3: (0, True)}
-    # the contrast: plain explode loses docs 2 and 3 entirely
+    assert got == {
+        1: (1, False),
+        2: (0, True),
+        3: (0, True),
+        4: (0, True),
+        5: (0, True),
+    }
+    # the contrast: plain explode keeps ONLY the doc with a long token
     docs = spark.read.parquet(f"{d}/documents.parquet")
     plain = (
         docs.select(
             "doc_id",
-            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")),
+            F.explode(
+                F.expr(
+                    "filter(split(coalesce(text, ''), ' '),"
+                    " x -> length(x) >= 8)"
+                )
+            ),
         )
         .select("doc_id")
         .distinct()
