@@ -1696,3 +1696,50 @@ def zero_token_docs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tok").cast("long").alias("n_tokens"),
         (F.count("tok") == 0).alias("is_empty"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['the','a','of','and','to','in'], x)))
+              AS DOUBLE) / len(string_split(lower(text), ' ')) > 0.05
+         THEN 'en' ELSE 'und' END AS lang_guess,
+         lang AS lang_label
+  FROM documents
+)
+SELECT lang_label, lang_guess, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((1000000 * COUNT(*)) //
+            SUM(COUNT(*)) OVER (PARTITION BY lang_label) AS BIGINT)
+         AS row_share_ppm
+FROM g GROUP BY lang_label, lang_guess
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation primitive — the confusion matrix: the lang-id
+    heuristic's predictions crossed with the gold `lang` labels, counts
+    plus row-normalized shares in exact integer ppm (the diagonal share
+    IS per-class recall).  This is the eval table every classifier in
+    the curation stack reports against; computing it in-engine means the
+    10^12-doc eval never leaves the cluster.  Shape: one groupBy on the
+    (gold, predicted) pair — at most |labels|^2 keys, partial-combined
+    map-side — and the normalizing window runs over that bounded matrix.
+    The heuristic itself is the driver-green `lang_id` rule, so the
+    oracle replays prediction AND evaluation end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = T.with_lang_id(docs).select(
+        F.col("lang").alias("lang_label"), "lang_guess"
+    )
+    m = g.groupBy("lang_label", "lang_guess").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return m.select(
+        "lang_label",
+        "lang_guess",
+        "n",
+        F.expr(
+            "CAST((1000000 * n) div"
+            " (sum(n) OVER (PARTITION BY lang_label)) AS BIGINT)"
+        ).alias("row_share_ppm"),
+    )

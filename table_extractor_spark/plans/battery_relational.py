@@ -3631,3 +3631,89 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN rev_e4 END), 0)) div SUM(rev_e4) AS BIGINT)"
         ).alias("share_ppm")
     )
+
+
+# Crawl-policy table for the longest-prefix gate: (path prefix, action).
+# Deliberately nested (each next prefix extends an earlier one) so the
+# LONGEST-match rule, not any-match, decides — the robots.txt semantics.
+_URL_POLICIES = (
+    ("/", "allow"),
+    ("/item/", "allow"),
+    ("/item/s", "deny"),
+    ("/item/sa", "allow"),
+    ("/item/b", "deny"),
+)
+
+
+@register(
+    "url_policy_longest_prefix",
+    oracle="""
+WITH pol(prefix, action) AS (
+  VALUES ('/', 'allow'), ('/item/', 'allow'), ('/item/s', 'deny'),
+         ('/item/sa', 'allow'), ('/item/b', 'deny')
+), u AS (
+  SELECT p_partkey,
+         '/item/' || lower(replace(p_name, ' ', '-')) AS path
+  FROM part WHERE p_partkey < 400
+), m AS (
+  SELECT u.p_partkey, u.path, pol.prefix, pol.action,
+         ROW_NUMBER() OVER (PARTITION BY u.p_partkey
+                            ORDER BY length(pol.prefix) DESC) AS rk
+  FROM u JOIN pol ON substr(u.path, 1, length(pol.prefix)) = pol.prefix
+)
+SELECT p_partkey, path, prefix AS matched_prefix, action
+FROM m WHERE rk = 1
+""",
+)
+def url_policy_longest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gating — robots.txt semantics: each URL path obeys
+    the LONGEST matching policy prefix (deny under /item/s, re-allowed
+    under /item/sa, ...), not any match.  The scale trick is how the
+    prefix match becomes an EQUI-join: a path only ever matches policy
+    prefixes at the policies' OWN lengths, so each path projects to one
+    candidate substring per DISTINCT policy length (|lengths| rows, here
+    4 — bounded by the policy table, never by path length) and candidates
+    equi-join the broadcast policy table; the winner is an argmax-by-
+    length min-struct aggregate, no window over the corpus.  The naive
+    formulations both fail at 10^12 URLs: a theta join (path LIKE
+    prefix||'%') is a nested loop, and exploding every character prefix
+    multiplies the corpus by average path length.  The oracle runs the
+    honest substring theta join + window, proving the rewrite."""
+    lengths = sorted({len(p) for p, _ in _URL_POLICIES})
+    pol = spark.createDataFrame(
+        list(_URL_POLICIES), "prefix string, action string"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    u = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("/item/"),
+            F.lower(F.replace("p_name", F.lit(" "), F.lit("-"))),
+        ).alias("path"),
+    )
+    cand = u.select(
+        "p_partkey",
+        "path",
+        F.explode(
+            F.array(*[F.substring("path", 1, n) for n in lengths])
+        ).alias("pref"),
+    )
+    best = (
+        cand.join(F.broadcast(pol), cand["pref"] == pol["prefix"])
+        .groupBy("p_partkey", "path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("plen"),
+                    F.col("prefix").alias("prefix"),
+                    F.col("action").alias("action"),
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        "p_partkey",
+        "path",
+        F.col("m.prefix").alias("matched_prefix"),
+        F.col("m.action").alias("action"),
+    )

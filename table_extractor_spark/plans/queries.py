@@ -127,6 +127,8 @@ _R7_QUEUE = (
     "q8_market_share",
     "cume_dist_doc_length",
     "zero_token_docs_audit",
+    "lang_id_confusion",
+    "url_policy_longest_prefix",
 )
 
 # Round-5 window policy (superseded by _R6_FRONT; kept because the r5

@@ -587,3 +587,45 @@ def test_cume_dist_ppm_tie_handling(spark, tmp_path):
         for r in Q.queries()["cume_dist_doc_length"](spark, d).collect()
     }
     assert got == {1: 666666, 2: 666666, 3: 1000000}
+
+
+def test_url_policy_longest_prefix_nested_reallow(spark, tmp_path):
+    """Robots semantics: /item/s* denies, /item/sa* re-allows — the
+    LONGEST match must win, and every path matches at least '/'-level."""
+    parts = spark.createDataFrame(
+        [
+            (1, "salmon widget", "Brand#1", "t", 1, 1.0),
+            (2, "steel bolt", "Brand#1", "t", 1, 1.0),
+            (3, "brass nut", "Brand#1", "t", 1, 1.0),
+            (4, "copper pipe", "Brand#1", "t", 1, 1.0),
+        ],
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "sf")
+    parts.coalesce(1).write.parquet(f"{d}/part.parquet")
+    from table_extractor_spark.plans import queries as Q
+
+    got = {
+        r["p_partkey"]: (r["matched_prefix"], r["action"])
+        for r in Q.queries()["url_policy_longest_prefix"](spark, d).collect()
+    }
+    assert got == {
+        1: ("/item/sa", "allow"),   # re-allowed under the deny subtree
+        2: ("/item/s", "deny"),
+        3: ("/item/b", "deny"),
+        4: ("/item/", "allow"),
+    }
+
+
+def test_url_policy_oracle_table_matches_source(spark):
+    """The oracle's inline VALUES policy table must stay in lockstep with
+    the Spark-side _URL_POLICIES tuple."""
+    import re
+
+    from table_extractor_spark.plans import battery_relational as BR
+    from table_extractor_spark.plans import queries as Q
+
+    sql = Q.oracle_sql()["url_policy_longest_prefix"]
+    pairs = re.findall(r"\('([^']*)', '(allow|deny)'\)", sql)
+    assert tuple(pairs) == BR._URL_POLICIES
