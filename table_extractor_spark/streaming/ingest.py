@@ -455,3 +455,54 @@ def start_stream_decontamination(
     if q.isActive:  # pragma: no cover - defensive
         q.stop()
     return q
+
+
+def start_stream_dim_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    dim_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    key: str = "user_id",
+    event_schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ),
+    available_now: bool = True,
+):
+    """Stream-static dimension enrichment: the event stream LEFT-joins a
+    broadcast batch dimension on ``key`` — the lookup-table pattern every
+    ingest pipeline needs (user segment, domain reputation, language
+    default).
+
+    Two semantics worth being precise about, both pinned in
+    tests/test_streaming_ingest.py:
+
+    * The static side is re-resolved EVERY micro-batch — Spark re-reads
+      the dimension path per batch, so an overwritten dimension takes
+      effect at the next trigger with no restart.  This is
+      latest-value-wins enrichment; events already written keep the
+      value that was current at THEIR batch.  When the business needs
+      as-of-event-time attribution instead, that is the SCD2 store
+      (streaming/scd2 + scd2_point_in_time), not a bigger lookup table.
+    * LEFT join: unmatched keys survive with a NULL attribute — the
+      unknown bucket stays visible (the null_safe_device_join rule),
+      never silently dropped by an inner join.
+
+    At scale the dimension must stay broadcast-sized; a fact-sized
+    "dimension" belongs in a stream-stream or pre-bucketed batch join.
+    Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(event_schema).parquet(input_dir)
+    dim = spark.read.parquet(dim_dir)
+    enriched = stream.join(F.broadcast(dim), key, "left")
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -359,3 +359,49 @@ def test_stream_decontamination_quarantines_benchmark_overlap(spark, tmp_path):
     # clean sink schema keeps (doc_id, text, batch_id) — downstream-ready
     cols = set(spark.read.parquet(out).columns)
     assert cols == {"doc_id", "text", "batch_id"}
+
+
+def test_stream_dim_enrich_rereads_dim_per_batch(spark, tmp_path):
+    """Stream-static enrichment: batch 1 joins dim v1 (u2 unknown ->
+    NULL, kept by the LEFT join); the dimension is then OVERWRITTEN and
+    batch 2 must see v2 without a restart — the static side re-resolves
+    every micro-batch."""
+    import datetime as dt
+
+    from table_extractor_spark.streaming.ingest import start_stream_dim_enrich
+
+    inp = str(tmp_path / "in")
+    dim = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _events(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def _dim(rows):
+        spark.createDataFrame(
+            rows, "user_id bigint, segment string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim)
+
+    _dim([(1, "gold")])
+    _events([(1, t0, 1, "view"), (2, t0, 2, "view")])
+    start_stream_dim_enrich(spark, inp, dim, out, ckpt).awaitTermination()
+    got1 = {
+        (r["event_id"], r["segment"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {(1, "gold"), (2, None)}
+
+    _dim([(1, "gold"), (2, "silver")])
+    _events([(3, t0, 2, "click")])
+    start_stream_dim_enrich(spark, inp, dim, out, ckpt).awaitTermination()
+    got2 = {
+        (r["event_id"], r["segment"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch-1 rows keep their values; the new event sees dim v2
+    assert got2 == {(1, "gold"), (2, None), (3, "silver")}
