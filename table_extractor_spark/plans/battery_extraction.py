@@ -45,7 +45,7 @@ def extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract import extract_pipeline
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
-    out, _ = extract_pipeline(docs, num_partitions=32, salt=1)
+    out, _ = extract_pipeline(docs, num_partitions=32, salt=1, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -82,7 +82,7 @@ def table_linearize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .triples import linearize_tables
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
-    out, _ = extract_pipeline(docs, num_partitions=32)
+    out, _ = extract_pipeline(docs, num_partitions=32, prefilter=False, spread="coalesce")
     lin = linearize_tables(out)
     return lin.select(
         "doc_id", "n_rows", F.md5("linearized").alias("linearized_md5")
@@ -123,7 +123,7 @@ def extract_media_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, media_anchors=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -160,7 +160,7 @@ def extract_link_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, link_anchors=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -197,7 +197,7 @@ def extract_colspan_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, header_colspan=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -233,7 +233,7 @@ def extract_vertical_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, vertical=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -271,7 +271,7 @@ def extract_totale_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, totale_rows=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -312,7 +312,7 @@ def extract_summary_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, summary_row=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -351,7 +351,7 @@ def extract_supersub_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, supersub=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -390,7 +390,7 @@ def extract_accent_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, accent_fallback=True
     ).filter(F.col("doc_id").substr(F.lit(6), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -426,7 +426,7 @@ def extract_header_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, header_quirks=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return out.select("doc_id", "kind", "text", "media_ref", "order")
 
 
@@ -445,13 +445,14 @@ def extract_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_headers, a dataless one counts no_data; both are analyzed, neither
     emits spans, and neither is a kernel ERROR (the reference's expected
     per-table outcomes, HtmlTableParser.py:197-211)."""
-    from .extract import extract_pipeline
+    from .extract import metrics_pipeline
 
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, error_tables=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, metrics = extract_pipeline(docs, num_partitions=16)
-    assert out is not None
+    # metrics-only consumer: the span rows would be filtered out JVM-side
+    # anyway, so the metrics pipeline never builds them (guide §4.1)
+    metrics = metrics_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     return metrics.agg(
         F.count("*").alias("docs"),
         F.sum("tables_num").alias("tot_tables"),
@@ -476,10 +477,11 @@ FROM documents
 def extract_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/A1: the reference's final report as one aggregation over the
     per-document metrics table (Utilities.py:384-449)."""
-    from .extract import extract_pipeline
+    from .extract import metrics_pipeline
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
-    _, metrics = extract_pipeline(docs, num_partitions=32)
+    # metrics-only consumer — span rows never cross Arrow (guide §4.1)
+    metrics = metrics_pipeline(docs, num_partitions=32, prefilter=False, spread="coalesce")
     return metrics.agg(
         F.count("*").alias("docs"),
         F.sum("tables_num").alias("tot_tables"),
@@ -519,7 +521,7 @@ def header_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract import extract_pipeline
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
-    out, _ = extract_pipeline(docs, num_partitions=32)
+    out, _ = extract_pipeline(docs, num_partitions=32, prefilter=False, spread="coalesce")
     return (
         out.filter(F.col("kind") == "header")
         .groupBy(F.col("text").alias("header"))
@@ -564,7 +566,7 @@ def _triples_df(
     from .triples import emit_triples
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
-    out, _ = extract_pipeline(docs, num_partitions=32)
+    out, _ = extract_pipeline(docs, num_partitions=32, prefilter=False, spread="coalesce")
     # emit_triples fans the extraction out into four consumers (tables,
     # cells, row triples, cell triples); without the persist the kernel
     # stage re-executes once per consumer (4x MapInArrow in the audit —
@@ -689,7 +691,7 @@ def emit_triples_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synthesize_docs_from_testdata(
         spark, sf_dir, media_anchors=True
     ).filter(F.col("doc_id").substr(F.lit(5), F.lit(10)).cast("int") < 300)
-    out, _ = extract_pipeline(docs, num_partitions=16)
+    out, _ = extract_pipeline(docs, num_partitions=16, prefilter=False, spread="coalesce")
     out = out.persist()
     rules = spark.createDataFrame(
         [

@@ -53,7 +53,7 @@ def settings_inventory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract import extract_pipeline
 
     docs = synthesize_docs_from_testdata(spark, sf_dir)
-    out, _ = extract_pipeline(docs, num_partitions=32)
+    out, _ = extract_pipeline(docs, num_partitions=32, prefilter=False, spread="coalesce")
     # table_inventory joins the sections and headers branches of the same
     # extraction — persist so the kernel stage runs once, not per branch
     out = out.persist()

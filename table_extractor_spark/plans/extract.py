@@ -108,6 +108,20 @@ def parse_documents_gen(batches) -> Iterator["pa.RecordBatch"]:
     ~19% faster at steady state at 32 cores (11.5k -> 13.7k docs/s at
     reference document weight) and warm from the first task (no pandas
     block-manager warm-up)."""
+    yield from _parse_batches(batches, emit_spans=True)
+
+
+def parse_documents_metrics_gen(batches) -> Iterator["pa.RecordBatch"]:
+    """Metrics-only variant: identical kernel work and metric rows, but the
+    span output never crosses the Arrow boundary.  For metrics-only
+    consumers (the S8 report aggregations) the span rows would be filtered
+    out JVM-side anyway — Spark cannot prune through an opaque map stage
+    (guide §4.1), so the pruning happens here, in the only place that can:
+    ~12 span rows per document are never converted to Arrow nor shipped."""
+    yield from _parse_batches(batches, emit_spans=False)
+
+
+def _parse_batches(batches, emit_spans: bool) -> Iterator["pa.RecordBatch"]:
     from time import perf_counter
 
     import numpy as np
@@ -131,10 +145,11 @@ def parse_documents_gen(batches) -> Iterator["pa.RecordBatch"]:
                 ks = ts = rs = os_ = empty
             k, t, r, metrics = extract_document_cols(did, ks, ts, rs, os_)
             metrics["kernel_us"] = int((perf_counter() - t0) * 1e6)
-            lens.append(len(k))
-            kinds.extend(k)
-            texts.extend(t)
-            refs.extend(r)
+            if emit_spans:
+                lens.append(len(k))
+                kinds.extend(k)
+                texts.extend(t)
+                refs.extend(r)
             metric_rows.append(metrics)
         # span rows and metric rows ship as SEPARATE batches of the same
         # schema, each with pa.nulls() for the other family's columns — the
@@ -142,7 +157,7 @@ def parse_documents_gen(batches) -> Iterator["pa.RecordBatch"]:
         # (~1,100 per document), which profiled as ~1/3 of the whole Arrow
         # stage at 32 cores; null buffers cost O(1) instead
         lens_np = np.asarray(lens, dtype=np.int64)
-        total = int(lens_np.sum())
+        total = int(lens_np.sum()) if emit_spans else 0
         if total:
             # doc_id repeated per span + per-doc order, both vectorized
             idx = np.repeat(np.arange(len(d), dtype=np.int64), lens_np)
@@ -187,12 +202,13 @@ def table_prefilter() -> Column:
     )
 
 
-def parse_stage(docs: DataFrame) -> DataFrame:
+def parse_stage(docs: DataFrame, metrics_only: bool = False) -> DataFrame:
     """docs(doc_id, spans) -> wide parsed frame (span rows + metric rows).
 
     The struct fields are pulled into four primitive array columns JVM-side
     (a free projection) so the Arrow crossing ships list<primitive> — see
-    ``parse_documents_gen``."""
+    ``parse_documents_gen``.  With ``metrics_only`` the Python stage emits
+    only the per-doc metric rows (same schema; span rows never built)."""
     cols = docs.select(
         "doc_id",
         F.col("spans.kind").alias("__k"),
@@ -200,7 +216,20 @@ def parse_stage(docs: DataFrame) -> DataFrame:
         F.col("spans.media_ref").alias("__r"),
         F.col("spans.offset").alias("__o"),
     )
-    return cols.mapInArrow(parse_documents_gen, schema=PARSED_SCHEMA)
+    gen = parse_documents_metrics_gen if metrics_only else parse_documents_gen
+    return cols.mapInArrow(gen, schema=PARSED_SCHEMA)
+
+
+def _spread(
+    docs: DataFrame, spread: str, num_partitions: Optional[int], salt: int
+) -> DataFrame:
+    if spread == "coalesce":
+        if num_partitions is None:
+            num_partitions = int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        return docs.coalesce(num_partitions)
+    return salted_repartition(docs, num_partitions=num_partitions, salt=salt)
 
 
 def extract_pipeline(
@@ -209,6 +238,7 @@ def extract_pipeline(
     num_partitions: Optional[int] = None,
     salt: int = 0,
     prefilter: bool = True,
+    spread: str = "shuffle",
 ) -> Tuple[DataFrame, DataFrame]:
     """Assemble the full plan; returns ``(out_spans_df, metrics_df)``.
 
@@ -219,16 +249,57 @@ def extract_pipeline(
     metrics_df: (doc_id, <counter columns>) — per-document lineage/metrics
     feed (S8); aggregate with metric report queries.
 
+    ``prefilter`` note: the filter runs on the ``spans`` column.  When
+    ``spans`` is a materialized table column this is the cheap JVM
+    prefilter it is meant to be; when ``spans`` is an unmaterialized
+    synthesis EXPRESSION, Catalyst pushes the filter below the projection
+    and duplicates the whole synthesis tree into the filter condition
+    (measured ~1 s per run on the sf1.0 extract battery — plan (2) in
+    plans/r07/extract_synthetic_before.txt).  Callers whose corpus embeds
+    a table in every document by construction (all synthesize_* corpora)
+    should pass ``prefilter=False``.
+
+    ``spread``: ``"shuffle"`` (default) is the salted repartition — the
+    only safe choice for arbitrary inputs (file-scan split counts LIE about
+    row spread: a single-row-group parquet file "splits" into N tasks of
+    which N-1 are empty, so a narrow coalesce would serialize the kernel).
+    ``"coalesce"`` skips the payload shuffle for inputs the CALLER knows
+    are already evenly spread over >= num_partitions partitions (an
+    explicit upstream repartition, as in synthesize_docs_from_testdata) —
+    guide §2.4: the same markup bytes were previously exchanged a second
+    time purely to re-establish a spread they already had.
+
     NOTE on reuse: the two returned frames share the parse stage.  Run-once
     jobs should ``parsed.persist()`` or write the parse output to a table and
     branch from there — at 10^12-doc scale always write-then-branch.
     """
     if prefilter:
         docs = docs.filter(table_prefilter())
-    docs = salted_repartition(docs, num_partitions=num_partitions, salt=salt)
+    docs = _spread(docs, spread, num_partitions, salt)
     parsed = parse_stage(docs)
     out = parsed.filter(F.col("kind").isNotNull()).select(*OUT_COLUMNS)
     metrics = parsed.filter(F.col("kind").isNull()).select(
         "doc_id", *METRIC_FIELDS
     )
     return out, metrics
+
+
+def metrics_pipeline(
+    docs: DataFrame,
+    *,
+    num_partitions: Optional[int] = None,
+    salt: int = 0,
+    prefilter: bool = True,
+    spread: str = "shuffle",
+) -> DataFrame:
+    """Metrics-only plan: same spread + kernel as ``extract_pipeline`` but
+    the span rows never cross the Arrow boundary (guide §4.1 — an opaque
+    map stage defeats column pruning, so the prune lives in the generator).
+    Row-for-row identical to ``extract_pipeline(...)[1]``."""
+    if prefilter:
+        docs = docs.filter(table_prefilter())
+    docs = _spread(docs, spread, num_partitions, salt)
+    parsed = parse_stage(docs, metrics_only=True)
+    return parsed.filter(F.col("kind").isNull()).select(
+        "doc_id", *METRIC_FIELDS
+    )

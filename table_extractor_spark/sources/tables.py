@@ -71,6 +71,18 @@ def synthesize_docs_from_testdata(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if limit:
         docs = docs.orderBy("doc_id").limit(limit)
+    # Spread the RAW rows before the markup projection.  documents.parquet
+    # is a single row group at every test SF, so the scan is effectively one
+    # partition no matter how many splits Spark plans — without this, the
+    # whole markup synthesis runs in one task and the downstream pipeline
+    # shuffles the SYNTHESIZED markup (~15x the raw bytes per doc at
+    # table_rows=48) to spread it.  Hash-repartitioning the narrow raw
+    # columns instead ships the small rows once and lets every later stage
+    # (synthesis projection, kernel coalesce) run wide — guide §2.3
+    # "shuffle keys and metadata instead of payloads".
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # staged under a NON-conflicting name: the final select aliases the
     # string id AS doc_id, and column references inside higher-order-function
     # lambdas resolve against that lateral alias instead of the child's
