@@ -64,13 +64,15 @@ class Cell(list):
     indexing / aliasing, but carries the media links found in the raw cell so
     the emitter can attach ``media_ref`` without disturbing the (quirky)
     positional join.
+
+    ``media`` ([(caption, media_ref), ...]) is a LAZY slot: most cells carry
+    no media, so the slot stays unset and readers use
+    ``getattr(cell, "media", ())`` — profiling showed the per-cell empty-list
+    allocation (2 Cells per data cell on the hot path) was measurable at
+    reference document weight.  Writers assign the list only when non-empty.
     """
 
     __slots__ = ("media",)
-
-    def __init__(self, *args):
-        super().__init__(*args)
-        self.media: List[tuple] = []  # [(caption, media_ref), ...]
 
 
 def fold_accents_bytes_only(text: str, *, is_bytes_origin: bool) -> str:
@@ -154,15 +156,23 @@ def find_headers(table: Element, tab: TableParse, metrics: Metrics) -> None:
     try:
         started_data = False
         for row in table.iterchildren():
-            ths = row.findall("th")
-            tds = row.findall("td")
+            # one pass over the row's children instead of two findall lists
+            # (the td list was only ever used as a boolean)
+            ths = []
+            has_td = False
+            for c in row.children:
+                if c.__class__ is Element:
+                    if c.tag == "th":
+                        ths.append(c)
+                    elif c.tag == "td":
+                        has_td = True
             header_row = None
-            if ths and not tds and not started_data:
+            if ths and not has_td and not started_data:
                 header_row = _compose_header_row(ths, metrics)
-            elif tds and ths:
+            elif has_td and ths:
                 header_row = _compose_header_row(ths, metrics)
                 tab.vertical = True
-            elif tds:
+            elif has_td:
                 started_data = True
             if header_row:
                 tab.headers.append(header_row)  # type: ignore[attr-defined]
@@ -374,7 +384,8 @@ def extract_data(table: Element, tab: TableParse) -> None:
     """
     tab.data = []  # type: ignore[attr-defined]
     for row in table.iterchildren():
-        # hot path: membership test without findall's throwaway list
+        # hot path: membership test without findall's throwaway list (the
+        # any() short-circuits at the first <td> — usually the first child)
         if not any(
             c.__class__ is Element and c.tag == "td" for c in row.children
         ):
@@ -383,7 +394,8 @@ def extract_data(table: Element, tab: TableParse) -> None:
         for cell in row.iterchildren():
             data_cell = Cell()
             anchors, media = _find_anchors(cell)
-            data_cell.media.extend(media)
+            if media:
+                data_cell.media = media
             for anc in anchors:
                 if anc:
                     data_cell.append(anc)
@@ -429,9 +441,13 @@ def resolve_data_type(tab: TableParse) -> None:
         temp_row = []
         for cell in row:
             temp_cell = Cell()
-            temp_cell.media.extend(getattr(cell, "media", ()))
+            media = getattr(cell, "media", None)
+            if media:
+                temp_cell.media = list(media)
             for element in cell:
-                data = []
+                # None as the no-match placeholder: same falsy/==0.0 gate
+                # as the reference's [], without a list alloc per element
+                data = None
                 if "a" in element:
                     # None 'a' (red link without text) raises AttributeError in
                     # the reference -> caught by refine_data -> E3; same here.
@@ -530,16 +546,20 @@ def difference_between_strings(a, b) -> int:
 
 
 def extract_value_from_cell(cell):
-    """Reference ``extract_value_from_cell`` (MapperTools.py:312-330)."""
+    """Reference ``extract_value_from_cell`` (MapperTools.py:312-330).
+
+    Flattened from the original value/result two-step (the ``len<=1``
+    branch always re-indexes the cell list itself) — called twice per data
+    cell on the hot path, so the saved call + isinstance were measurable."""
     if len(cell) > 1:
-        value = cell[-1]
+        result = cell[-1]
+        if isinstance(result, list):
+            result = result[0]
     else:
-        value = cell
-    if isinstance(value, list):
-        result = value[0]
-    else:
-        result = value
-    return value_to_str(result)
+        result = cell[0]
+    if isinstance(result, str):
+        return result
+    return str(result)
 
 
 def filter_summary_rows(table_data: List[dict], metrics: Metrics) -> List[dict]:
@@ -561,8 +581,8 @@ def filter_summary_rows(table_data: List[dict], metrics: Metrics) -> List[dict]:
         p += 1
         summarized = 0
         deleted = False
-        for cell in row:
-            value = extract_value_from_cell(row[cell])
+        for cell, cell_value in row.items():
+            value = extract_value_from_cell(cell_value)
             if py2_is_float(value) or py2_is_int(value):
                 fval = float(value)
                 if cell in table_dict:
@@ -626,8 +646,8 @@ def parse_table(table: Element, metrics: Metrics) -> TableParse:
     # count like Table.count_data_cells_and_rows (Table.py:34-52): non-'-' cells
     cells = 0
     for row in tab.data_refined:
-        for key in row:
-            if row[key][0] != "-":
+        for cell_value in row.values():
+            if cell_value[0] != "-":
                 cells += 1
     metrics.data_extracted += cells
     metrics.data_extracted_to_map += cells

@@ -122,6 +122,7 @@ def parse_fragment(markup: str) -> Element:
     root = Element("#root")
     stack: List[Element] = [root]
     top = root  # cached stack[-1]: saves two index loads per tag/text event
+    kids = root.children  # cached top.children: one attr load per event
     pos = 0
     # hot loop: bind globals/attributes to locals; ~150 tags per table and
     # every document goes through here, so constant factors matter
@@ -135,8 +136,7 @@ def parse_fragment(markup: str) -> Element:
             if "&" in text:  # unescape only when an entity can exist
                 text = unescape(text)
             if text:
-                kids = top.children
-                if kids and isinstance(kids[-1], str):
+                if kids and kids[-1].__class__ is str:
                     kids[-1] += text  # merge adjacent text nodes
                 else:
                     kids.append(text)
@@ -150,6 +150,7 @@ def parse_fragment(markup: str) -> Element:
                 if stack[i].tag == tag:
                     del stack[i:]
                     top = stack[-1]
+                    kids = top.children
                     break
             continue
         # implicit closes (e.g. a <tr> closes a still-open <tr>/<td>/<th>)
@@ -158,6 +159,7 @@ def parse_fragment(markup: str) -> Element:
             while len(stack) > 1 and top.tag in closers:
                 stack.pop()
                 top = stack[-1]
+            kids = top.children
         # most tags carry no attributes: skip the parse without allocating a
         # stripped copy (isspace never allocates)
         node = Element(
@@ -166,17 +168,17 @@ def parse_fragment(markup: str) -> Element:
             if rawattrs and not rawattrs.isspace()
             else None,
         )
-        top.children.append(node)
+        kids.append(node)
         if not selfclose and tag not in void:
             stack.append(node)
             top = node
+            kids = node.children
     if pos < len(markup):
         tail = markup[pos:]
         if "&" in tail:
             tail = unescape(tail)
         if tail:
-            kids = top.children
-            if kids and isinstance(kids[-1], str):
+            if kids and kids[-1].__class__ is str:
                 kids[-1] += tail
             else:
                 kids.append(tail)

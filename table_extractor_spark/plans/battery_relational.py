@@ -518,15 +518,25 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (hot keys — the skew-detection input): one
     partial-aggregated groupBy then a top-10.  The mergeable-sketch variant
     (count_min_sketch, for when even the per-key agg is too wide) is
-    error-bound-pinned in pytest — its binary is engine-specific."""
+    error-bound-pinned in pytest — its binary is engine-specific.
+
+    Plan shape (the ``skew_report``/``supplier_pagerank`` pattern): the
+    top-10 is taken with ``orderBy().limit()`` — a distributed
+    TakeOrderedAndProject (per-partition heads + driver merge) — and the
+    rank window then runs over exactly 10 rows.  Ranking BEFORE the limit
+    put an unpartitioned row_number window over the whole per-user
+    aggregate: single-partition, corpus-linear — the r6 verdict's
+    scale-killer #2.  The (n desc, user_id) order is total, so
+    limit-then-rank is row-identical to rank-then-filter."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.orderBy(F.col("n").desc(), "user_id")
-    return (
+    top = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
     )
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 @register(
@@ -1054,25 +1064,33 @@ GROUP BY 1
 )
 def rule_lookup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: the strict-then-loose mapping-rule cascade (Mapper.py:134-191) as
-    two BROADCAST left joins + coalesce — the Spark-native replacement for the
-    reference's per-cell dict probes."""
+    broadcast joins + coalesce — the Spark-native replacement for the
+    reference's per-cell dict probes.
+
+    The strict rule table is DERIVED from nation (same key, a filter and a
+    rename), so probing it as a second broadcast left join re-joined rows
+    the first join already held: the strict property is now computed
+    inline from the joined nation row (guide §2.4 — two operations keyed
+    the same way share one join), dropping one BroadcastExchange + one
+    BroadcastHashJoin from the plan (4 -> 3 joins measured in
+    plans/r07/rule_lookup_cascade_{before,after}.txt)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    strict = nation.filter(F.col("n_nationkey") % 2 == 0).select(
-        F.col("n_nationkey").alias("skey"),
-        F.concat(F.lit("nation:"), "n_name").alias("sprop"),
-    )
     loose = region.select(
         F.col("r_regionkey").alias("lkey"),
         F.concat(F.lit("region:"), "r_name").alias("lprop"),
     )
+    # strict rules = nation rows with even key: the first join's output
+    # already carries (n_nationkey, n_name), so the strict probe is a CASE
+    sprop = F.when(
+        F.col("n_nationkey") % 2 == 0, F.concat(F.lit("nation:"), "n_name")
+    )
     return (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(strict), F.col("c_nationkey") == F.col("skey"), "left")
         .join(F.broadcast(loose), F.col("n_regionkey") == F.col("lkey"), "left")
         .select(
-            F.coalesce("sprop", "lprop", F.lit("UNMAPPED")).alias("property")
+            F.coalesce(sprop, F.col("lprop"), F.lit("UNMAPPED")).alias("property")
         )
         .groupBy("property")
         .agg(F.count("*").alias("n_customers"))

@@ -640,3 +640,96 @@ def test_q19_or_of_ands_stays_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
     assert "Brand#11" in plan, plan  # derived per-side pruning reached a scan
+
+
+# --------------------------------------------------------------------------
+# round-7 optimization pins
+# --------------------------------------------------------------------------
+
+
+def test_linkage_cap_broadcasts_oversized_anti_not_undercap_semi(spark):
+    """The block-size guard must broadcast the OVERSIZED block list (bounded
+    by the number of hot blocks) as a LEFT ANTI join — never the under-cap
+    list, whose key set is corpus-linear (r6 verdict scale-killer #1)."""
+    import inspect
+
+    from table_extractor_spark.operators import linkage as L
+
+    src = inspect.getsource(L.blocked_match_pairs)
+    assert "left_anti" in src and "left_semi" not in src, src
+    from table_extractor_spark.sources.tables import load_table
+
+    recs = load_table(spark, SF, "part").selectExpr(
+        "p_partkey AS id", "p_name AS txt", "p_brand"
+    )
+    capped = L.blocked_match_pairs(
+        recs, "id", "txt", ["p_brand"], 3, max_block_size=50
+    )
+    plan = formatted(capped)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # results must equal the uncapped pipeline minus oversized blocks
+    # (semantic pin: anti-join inversion is a pure plan change)
+    uncapped = L.blocked_match_pairs(recs, "id", "txt", ["p_brand"], 3)
+    over = L.oversized_blocks(recs, ["p_brand"], 50)
+    over_ids = (
+        recs.join(over.select("p_brand"), ["p_brand"], "left_semi")
+        .select("id")
+    )
+    expected = (
+        uncapped.join(over_ids.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+        .join(over_ids.withColumnRenamed("id", "b_id"), "b_id", "left_anti")
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        (r.a_id, r.b_id, r.dist) for r in expected.collect()
+    )
+
+
+def test_heavy_hitters_limits_before_rank(spark):
+    """Top-10 via TakeOrderedAndProject (distributed partial limits), the
+    rank window only over the 10 survivors — no single-partition window
+    over the corpus-linear per-user aggregate (r6 verdict scale-killer #2)."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["heavy_hitters"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_metrics_pipeline_matches_extract_pipeline_metrics(spark):
+    """The metrics-only Arrow stage must be row-for-row identical to the
+    full pipeline's metrics branch (span emission is the only delta)."""
+    from table_extractor_spark.plans.extract import (
+        extract_pipeline,
+        metrics_pipeline,
+    )
+    from table_extractor_spark.sources.tables import fixture_corpus_df
+
+    docs = fixture_corpus_df(spark)
+    _, expected = extract_pipeline(docs, num_partitions=4)
+    got = metrics_pipeline(docs, num_partitions=4)
+    # kernel_us is a measured wall time — everything else must match exactly
+    assert sorted(map(tuple, got.drop("kernel_us").collect())) == sorted(
+        map(tuple, expected.drop("kernel_us").collect())
+    )
+
+
+def test_brute_force_topk_spreads_corpus_off_scan(spark):
+    """The corpus side of the brute-force scorer carries all the pair work:
+    it must be hash-spread off the scan's row-group partitioning (a
+    single-row-group file otherwise serializes the scoring stage)."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["embedding_cosine_topk"](spark, SF))
+    assert "hashpartitioning(neighbor_id" in plan, plan
+
+
+def test_synthesized_extraction_has_no_duplicated_synthesis(spark):
+    """prefilter=False on synthesized corpora: the markup-synthesis
+    expression tree must appear in exactly one Project — the pushed-down
+    spans prefilter used to duplicate it into a Filter condition."""
+    from table_extractor_spark.plans import queries as Q
+
+    plan = formatted(Q.queries()["extract_synthetic"](spark, SF))
+    # the synthesis tree is recognizable by the wikitable literal; it must
+    # occur exactly once (the Project), not twice (Project + Filter)
+    assert plan.count('<table class="wikitable">') == 1, plan
